@@ -1,0 +1,53 @@
+"""Per-turn metric derivation — the engine's "sample" values.
+
+The reference's samples are seismic amplitudes at a fixed rate; ours are
+per-turn metrics on an irregular grid: inter-turn latency, token count, text
+length. All expression-level (whole-stage codegen), one window shuffle on
+(conv_id) that every downstream rollup reuses.
+
+Reference parallels:
+  * latency = ts - lag(ts)  <->  gap calc in mst_findadjacent
+    (/root/reference/libmseed/traceutils.c:300-334)
+  * stable (conv_id, turn_idx, ts) ordering  <->  mst_groupsort comparator
+    (/root/reference/libmseed/traceutils.c:1037-1084)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# Stable intra-conversation order (BASELINE.json per-row invariant).
+TURN_ORDER = ["turn_idx", "ts"]
+
+METRIC_COLS = ["latency_us", "token_count", "text_len"]
+
+
+def turn_window() -> Window:
+    return Window.partitionBy("conv_id").orderBy(*TURN_ORDER)
+
+
+def token_count_col(text_col="text"):
+    """Whitespace token count; empty/blank text counts 0 tokens.
+
+    Definition chosen to be expressible identically in ANSI SQL (DuckDB
+    oracle): split trimmed text on runs of whitespace.
+    """
+    t = F.trim(F.col(text_col))
+    return F.when(F.length(t) == 0, F.lit(0)).otherwise(F.size(F.split(t, r"\s+")))
+
+
+def derive_turn_metrics(transcripts: DataFrame) -> DataFrame:
+    """transcripts -> + (ts_us, latency_us, token_count, text_len).
+
+    latency_us is NULL for each conversation's first turn (no predecessor),
+    mirroring the reference's "no gap before the first record".
+    """
+    w = turn_window()
+    ts_us = F.unix_micros("ts")
+    return (
+        transcripts.withColumn("ts_us", ts_us)
+        .withColumn("latency_us", F.col("ts_us") - F.lag("ts_us").over(w))
+        .withColumn("token_count", token_count_col().cast("long"))
+        .withColumn("text_len", F.length("text").cast("long"))
+    )

@@ -1,0 +1,204 @@
+"""Deterministic, distributed synthetic `transcripts` source.
+
+Schema is exactly BASELINE.json's input_hint:
+    (conv_id string, turn_idx int, role string, text string,
+     tool string, ts timestamp[us])
+
+This is the engine's analogue of the reference's deterministic test input —
+the 500-sample expanding sinusoid with documented bit-width properties
+(/root/reference/libmseed/test/lmtestpack.c:32-83). Like that fixture, every
+value here is a pure function of (seed, conv_id, turn_idx), so any two runs —
+at any parallelism, any partitioning — produce identical rows.
+
+Scale design: timestamps are CLOSED-FORM in turn_idx (base spacing + bounded
+jitter + periodic injected gaps), so generation needs no per-conversation
+prefix sum, no window function, and no shuffle: `spark.range` → per-conv
+params via xxhash64 → `explode(sequence(...))`. At 10^12 turns the only
+adjustment needed is splitting hot conversations across input rows
+(sub-ranges of turn_idx), which `chunk` below already does.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+EPOCH0_US = 1_700_000_000_000_000  # 2023-11-14T22:13:20Z; any fixed origin
+
+_WORDS = (
+    "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo "
+    "lima mike november oscar papa quebec romeo sierra tango uniform victor "
+    "whiskey xray yankee zulu the a and to of in it is was for on"
+).split()
+
+_TOOLS = ["search", "browser", "calculator", "editor", "shell"]
+
+
+@dataclass(frozen=True)
+class TranscriptSpec:
+    """Parameters of one deterministic fixture (FIXTURES.md §1)."""
+
+    n_convs: int
+    min_turns: int
+    max_turns: int
+    n_hot: int = 0  # convs [0, n_hot) get hot_turns turns (Zipf head)
+    hot_turns: int = 0
+    gap_every: int = 0  # every k-th turn starts after an injected gap
+    gap_us: int = 0
+    shuffle_rows: bool = False  # deliver rows out of time order
+    edge_cases: bool = False  # empty text, duplicate ts pairs, 1-turn convs
+
+
+FIXTURES: dict[str, TranscriptSpec] = {
+    "t_small": TranscriptSpec(20, 5, 200),
+    "t_gaps": TranscriptSpec(50, 50, 500, gap_every=40, gap_us=6 * 3_600_000_000),
+    "t_ooo": TranscriptSpec(50, 100, 100, shuffle_rows=True),
+    "t_hot": TranscriptSpec(1000, 20, 100, n_hot=3, hot_turns=100_000),
+    "t_edge": TranscriptSpec(30, 1, 2, edge_cases=True),
+}
+
+# Max turns materialized from a single generator input row.  Hot
+# conversations are split into chunks of this size so no task builds a
+# multi-hundred-MB array — the generator itself is skew-free.
+_CHUNK = 8192
+
+
+def _h(*cols):
+    """Deterministic 64-bit mix (xxhash64 of the columns + seed salt)."""
+    return F.xxhash64(*cols)
+
+
+def generate_transcripts(
+    spark: SparkSession,
+    spec: TranscriptSpec | str = "t_small",
+    seed: int = 42,
+    parallelism: int | None = None,
+) -> DataFrame:
+    """Build the transcripts DataFrame for a fixture spec.
+
+    Everything is expression-level (JVM, codegen); zero Python UDFs and zero
+    shuffles except the optional output-order shuffle for the out-of-order
+    fixture.
+    """
+    if isinstance(spec, str):
+        spec = FIXTURES[spec]
+    s = F.lit(seed)
+
+    convs = spark.range(0, spec.n_convs, 1, parallelism or spark.sparkContext.defaultParallelism)
+    convs = convs.withColumnRenamed("id", "cid")
+
+    span = max(spec.max_turns - spec.min_turns, 0) + 1
+    n_turns = F.lit(spec.min_turns) + F.pmod(_h(F.col("cid"), s, F.lit("nt")), F.lit(span))
+    if spec.n_hot:
+        n_turns = F.when(F.col("cid") < spec.n_hot, F.lit(spec.hot_turns)).otherwise(n_turns)
+    if spec.edge_cases:
+        # every third conversation has exactly one turn
+        n_turns = F.when(F.col("cid") % 3 == 0, F.lit(1)).otherwise(n_turns)
+    convs = convs.withColumn("n_turns", n_turns.cast("int"))
+
+    # Split each conversation into fixed-size chunks of turn indices, then
+    # explode chunks before exploding turns: two cheap narrow explodes keep
+    # per-row array sizes bounded regardless of conversation size.
+    convs = convs.withColumn(
+        "chunk",
+        F.explode(
+            F.sequence(F.lit(0), F.floor((F.col("n_turns") - 1) / _CHUNK).cast("int"))
+        ),
+    )
+    lo = (F.col("chunk") * _CHUNK).cast("int")
+    hi = F.least(F.col("n_turns"), (F.col("chunk") + 1) * _CHUNK).cast("int") - 1
+    t = convs.withColumn("turn_idx", F.explode(F.sequence(lo, hi)))
+
+    cid, tid = F.col("cid"), F.col("turn_idx")
+
+    # --- closed-form timestamp ------------------------------------------
+    # base spacing 1..30 s per conversation; jitter bounded to +/- base/4 so
+    # the series stays strictly monotonic without a prefix sum.
+    base_us = (F.lit(1) + F.pmod(_h(cid, s, F.lit("base")), F.lit(30))) * 1_000_000
+    jitter = F.pmod(_h(cid, tid, s, F.lit("jit")), (base_us / 2).cast("long")) - (
+        base_us / 4
+    ).cast("long")
+    conv_start = (
+        F.lit(EPOCH0_US)
+        + cid * 97_000_000  # stagger conversation starts
+        + F.pmod(_h(cid, s, F.lit("st")), F.lit(86_400_000_000))
+    )
+    ts_us = conv_start + tid.cast("long") * base_us + jitter
+    if spec.gap_every:
+        ts_us = ts_us + F.floor(tid / spec.gap_every).cast("long") * F.lit(spec.gap_us)
+    if spec.edge_cases:
+        # duplicate-timestamp pair: turn 1 collides with turn 0
+        ts_us = F.when(tid == 1, conv_start + jitter * 0).otherwise(ts_us)
+        ts_us = F.when(tid == 0, conv_start).otherwise(ts_us)
+
+    # --- roles / tools / text -------------------------------------------
+    is_tool = F.pmod(_h(cid, tid, s, F.lit("tl")), F.lit(7)) == 0
+    role = (
+        F.when(is_tool, F.lit("tool"))
+        .when(tid % 2 == 0, F.lit("user"))
+        .otherwise(F.lit("assistant"))
+    )
+    tool = F.when(
+        is_tool,
+        F.element_at(
+            F.array(*[F.lit(x) for x in _TOOLS]),
+            (F.pmod(_h(cid, tid, s, F.lit("tn")), F.lit(len(_TOOLS))) + 1).cast("int"),
+        ),
+    ).otherwise(F.lit(None).cast("string"))
+
+    n_words = (F.lit(3) + F.pmod(_h(cid, tid, s, F.lit("nw")), F.lit(38))).cast("int")
+    words_lit = F.array(*[F.lit(w) for w in _WORDS])
+    text = F.array_join(
+        F.transform(
+            F.sequence(F.lit(1), n_words),
+            lambda i: F.element_at(
+                words_lit, (F.pmod(_h(cid, tid, i, s), F.lit(len(_WORDS))) + 1).cast("int")
+            ),
+        ),
+        " ",
+    )
+    if spec.edge_cases:
+        text = F.when(F.pmod(_h(cid, tid, s, F.lit("et")), F.lit(13)) == 0, F.lit("")).otherwise(
+            text
+        )
+
+    out = t.select(
+        F.format_string("conv_%08d", cid).alias("conv_id"),
+        tid.cast("int").alias("turn_idx"),
+        role.alias("role"),
+        text.alias("text"),
+        tool.alias("tool"),
+        F.timestamp_micros(ts_us.cast("long")).alias("ts"),
+    )
+    if spec.shuffle_rows:
+        out = out.orderBy(F.pmod(_h(F.col("conv_id"), F.col("turn_idx"), s, F.lit("shuf")), F.lit(1 << 31)))
+    return out
+
+
+# SQL that derives a transcripts relation from the driver's `events` table.
+# Used verbatim by Spark AND the DuckDB oracle so both engines query the
+# exact same input (TESTDATA.md tables are the only shared data).
+TRANSCRIPTS_FROM_EVENTS_SQL = """
+SELECT
+    concat('conv_', cast(user_id AS varchar)) AS conv_id,
+    cast(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS int)
+        AS turn_idx,
+    CASE
+        WHEN event_type IN ('click', 'view') THEN 'user'
+        WHEN event_type = 'purchase' THEN 'tool'
+        ELSE 'assistant'
+    END AS role,
+    props AS text,
+    CASE WHEN event_type = 'purchase' THEN 'checkout' ELSE NULL END AS tool,
+    ts
+FROM events
+"""
+
+
+def transcripts_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transcripts view over the driver-provided events parquet."""
+    spark.read.parquet(f"{sf_dir}/events.parquet").createOrReplaceTempView("events")
+    # Spark's varchar cast spells the same as duckdb's for integers.
+    return spark.sql(TRANSCRIPTS_FROM_EVENTS_SQL.replace("AS varchar", "AS string"))
