@@ -1,0 +1,107 @@
+"""Spark-integration tests for the pack/unpack path (operators/pack.py).
+
+The pure-python codec tests (test_codec.py) pin the byte format; these pin
+the Spark plumbing: grouping, chunk split/assemble determinism at different
+parallelism, and the unpack round-trip — the engine-level analogue of the
+reference's read-back golden tests (/root/reference/libmseed/test/README:1-14).
+"""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from sac2mseed_spark.codec import oracle
+from sac2mseed_spark.functions.metrics import derive_turn_metrics
+from sac2mseed_spark.operators.pack import (
+    STREAMS,
+    pack_tier,
+    unpack_tier,
+    verify_continuity,
+)
+from sac2mseed_spark.sources.transcripts import generate_transcripts
+
+
+@pytest.fixture(scope="module")
+def packed_1m(spark):
+    t = generate_transcripts(spark, "t_small", seed=42)
+    m = derive_turn_metrics(t)
+    return m, pack_tier(m, "1m").cache()
+
+
+def test_point_conservation(spark, packed_1m):
+    m, packed = packed_1m
+    n_turns = m.count()
+    assert packed.agg(F.sum("n_points")).collect()[0][0] == n_turns
+
+
+def test_unpack_roundtrip_values(spark, packed_1m):
+    m, packed = packed_1m
+    up = unpack_tier(packed)
+    # every (conv_id, ts_us) decodes back with identical latency/token values
+    joined = m.select(
+        "conv_id",
+        "ts_us",
+        F.col("latency_us").cast("double").alias("lat_in"),
+        F.col("token_count").cast("double").alias("tok_in"),
+    ).join(up, ["conv_id", "ts_us"], "full_outer")
+    n = m.count()
+    assert joined.count() == n
+    bad = joined.filter(
+        ~(
+            (F.col("lat_in") == F.col("latency_us_f"))
+            | (F.isnan("lat_in") & F.isnan("latency_us_f"))
+            | (F.col("lat_in").isNull() & F.isnan("latency_us_f"))
+        )
+        | (F.col("tok_in") != F.col("token_count_f"))
+    )
+    assert bad.count() == 0
+
+
+def test_parallelism_invariance(spark):
+    """Identical payload bytes at 1 vs 8 upstream partitions (the skew-split
+    bit-exactness contract, operators/skew.py)."""
+    t = generate_transcripts(spark, "t_small", seed=42)
+    m = derive_turn_metrics(t)
+    a = pack_tier(m.coalesce(1), "1m")
+    b = pack_tier(m.repartition(8, "conv_id"), "1m")
+    rows_a = {
+        (r["conv_id"], r["window_start_us"]): (bytes(r["payload"]), r["crc32"])
+        for r in a.collect()
+    }
+    rows_b = {
+        (r["conv_id"], r["window_start_us"]): (bytes(r["payload"]), r["crc32"])
+        for r in b.collect()
+    }
+    assert rows_a == rows_b
+
+
+def test_out_of_order_input_same_bytes(spark):
+    """Out-of-order delivery packs to identical bytes (mst_groupheal
+    property, traceutils.c:776-915)."""
+    spec = "t_small"
+    m1 = derive_turn_metrics(generate_transcripts(spark, spec, seed=42))
+    shuffled = generate_transcripts(spark, spec, seed=42).orderBy(F.xxhash64("text"))
+    m2 = derive_turn_metrics(shuffled)
+    pa = {(r["conv_id"], r["window_start_us"]): bytes(r["payload"]) for r in pack_tier(m1, "1h").collect()}
+    pb = {(r["conv_id"], r["window_start_us"]): bytes(r["payload"]) for r in pack_tier(m2, "1h").collect()}
+    assert pa == pb
+
+
+def test_payload_decodes_with_oracle(spark, packed_1m):
+    _, packed = packed_1m
+    row = packed.orderBy("conv_id", "window_start_us").first()
+    ts, streams = oracle.decode_blob(
+        bytes(row["payload"]), expect_xn=int(np.uint64(np.int64(row["xn"])))
+    )
+    assert len(ts) == row["n_points"]
+    assert len(streams) == len(STREAMS)
+    assert ts[0] == row["first_ts_us"] and ts[-1] == row["last_ts_us"]
+
+
+def test_continuity_audit_shape(spark, packed_1m):
+    _, packed = packed_1m
+    cont = verify_continuity(packed)
+    n_adj = cont.filter("adjacent").count()
+    # adjacent windows must see a non-null prev_xn
+    assert cont.filter(F.col("adjacent") & F.col("prev_xn").isNull()).count() == 0
+    assert n_adj > 0
