@@ -1,38 +1,768 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+`queries()` maps every implemented operator from SURVEY.md §2 (plus the
+training-data-pipeline operators) onto the driver's parquet tables;
+`oracle_sql()` holds the DuckDB-equivalent ANSI SQL. Engine operators run
+over a `transcripts` relation derived deterministically from the `events`
+table (sources/transcripts.py TRANSCRIPTS_FROM_EVENTS_SQL) so Spark and
+DuckDB query literally the same input rows.
+
+Column-name/alias parity and float determinism rules:
+  * every computed column aliased identically on both sides
+  * sums/counts stay in the integer domain (bit-exact re-aggregation)
+  * unavoidable float outputs are produced by the same literal expression
+    tree (same fold order) and rounded to 6 dp on both sides
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sac2mseed_spark.functions import text as T
+from sac2mseed_spark.functions.hashing import h60, h60_sql
+from sac2mseed_spark.functions.metrics import derive_turn_metrics, ts_us_col
+from sac2mseed_spark.functions.multimodal import extract_features, synth_media
+from sac2mseed_spark.operators import dedup as D
+from sac2mseed_spark.operators import similarity as S
+from sac2mseed_spark.operators.gapfill import gap_fill
+from sac2mseed_spark.operators.gaps import gap_report
+from sac2mseed_spark.operators.pack import pack_tier, unpack_tier
+from sac2mseed_spark.operators.rollup import (
+    rollup_cascade,
+    rollup_from_turns,
+)
+from sac2mseed_spark.operators.sessionize import segments
+from sac2mseed_spark.sources.tables import load_table
+from sac2mseed_spark.sources.transcripts import (
+    TRANSCRIPTS_FROM_EVENTS_SQL,
+    transcripts_from_events,
+)
+
+# ----------------------------------------------------------------------
+# shared DuckDB CTE prefix: transcripts + per-turn metrics
+# ----------------------------------------------------------------------
+
+_TOKENS_SQL = (
+    "CASE WHEN length(trim({t})) = 0 THEN CAST([] AS VARCHAR[]) "
+    "ELSE regexp_split_to_array(trim({t}), '\\s+') END"
+)
+
+_ORACLE_PREFIX = f"""
+WITH transcripts AS ({TRANSCRIPTS_FROM_EVENTS_SQL}),
+m AS (
+  SELECT conv_id, turn_idx, role, text, tool,
+         epoch_us(ts) AS ts_us,
+         epoch_us(ts) - lag(epoch_us(ts)) OVER
+           (PARTITION BY conv_id ORDER BY turn_idx, epoch_us(ts)) AS latency_us,
+         CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT)
+           AS token_count
+  FROM transcripts
+)
+"""
+
+_TIER_US = {"1m": 60_000_000, "1h": 3_600_000_000, "1d": 86_400_000_000}
+
+
+def _rollup_sql(tier: str) -> str:
+    w = _TIER_US[tier]
+    return f"""{_ORACLE_PREFIX}
+SELECT conv_id,
+       CAST(floor(ts_us / {w}.0) AS BIGINT) * {w} AS window_start_us,
+       count(*) AS n_points,
+       count(latency_us) AS n_latency,
+       CAST(sum(latency_us) AS BIGINT) AS sum_latency_us,
+       min(latency_us) AS min_latency_us,
+       max(latency_us) AS max_latency_us,
+       CAST(sum(token_count) AS BIGINT) AS sum_tokens,
+       min(ts_us) AS min_ts_us,
+       max(ts_us) AS max_ts_us,
+       '{tier}' AS tier
+FROM m GROUP BY 1, 2
+"""
+
+
+_STOPWORDS_SQL = "[" + ",".join(f"'{s}'" for s in T.EN_STOPWORDS) + "]"
+
+# documents corpus augmented with deterministic near-duplicates: docs with
+# doc_id < 50 get a variant (id + 100000) missing the first 5 tokens —
+# guarantees the near-dup operators have true positives at every sf.
+_AUG_DOCS_SQL = f"""
+aug AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id,
+         array_to_string(({_TOKENS_SQL.format(t='text')})[6:], ' ') AS text
+  FROM documents WHERE doc_id < 50
+),
+tok AS (
+  SELECT doc_id, {_TOKENS_SQL.format(t='text')} AS toks FROM aug
+),
+sh AS (
+  SELECT doc_id AS doc, unnest(
+    CASE WHEN len(toks) >= 3
+         THEN [array_to_string(toks[i:i+2], ' ') FOR i IN range(1, len(toks) - 1)]
+         ELSE [array_to_string(toks, ' ')] END) AS sh
+  FROM tok
+),
+shs AS (SELECT DISTINCT doc, {h60_sql('sh')} AS sh_h FROM sh),
+sizes AS (SELECT doc, count(*) AS sz FROM shs GROUP BY doc)
+"""
+
+
+def _aug_docs(spark_docs: DataFrame) -> DataFrame:
+    toks = T.ws_tokens("text")
+    variants = (
+        spark_docs.filter(F.col("doc_id") < 50)
+        .select(
+            (F.col("doc_id") + 100000).alias("doc_id"),
+            F.array_join(F.slice(toks, 6, F.greatest(F.size(toks) - 5, F.lit(0))), " ").alias("text"),
+        )
+    )
+    return spark_docs.select("doc_id", "text").unionByName(variants)
+
+
+# ----------------------------------------------------------------------
+# Spark query callables
+# ----------------------------------------------------------------------
+
+def _metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return derive_turn_metrics(transcripts_from_events(spark, sf_dir))
+
+
+def q_transcripts(spark, sf_dir):
+    t = transcripts_from_events(spark, sf_dir)
+    return t.select(
+        "conv_id", "turn_idx", "role", "text", "tool", ts_us_col("ts").alias("ts_us")
+    )
+
+
+def q_rollup_1m(spark, sf_dir):
+    return rollup_from_turns(_metrics(spark, sf_dir), "1m")
+
+
+def q_rollup_1h(spark, sf_dir):
+    # cascaded: 1h re-aggregated FROM the 1m tier (oracle aggregates raw
+    # turns directly — passing proves the cascade is exactly associative)
+    return rollup_cascade(_metrics(spark, sf_dir))["1h"]
+
+
+def q_rollup_1d(spark, sf_dir):
+    return rollup_cascade(_metrics(spark, sf_dir))["1d"]
+
+
+def q_tier_derived_1h(spark, sf_dir):
+    t = rollup_cascade(_metrics(spark, sf_dir))["1h"]
+    return t.select(
+        "conv_id",
+        "window_start_us",
+        "n_points",
+        F.round(F.col("n_points") / F.lit(3600.0), 6).alias("turn_rate"),
+        F.round(
+            F.when(F.col("n_latency") > 0, F.col("sum_latency_us") / F.col("n_latency")),
+            6,
+        ).alias("avg_latency_us"),
+    )
+
+
+def q_segments(spark, sf_dir):
+    return segments(_metrics(spark, sf_dir))
+
+
+def q_gap_report(spark, sf_dir):
+    return gap_report(_metrics(spark, sf_dir), min_gap_us=600_000_000)
+
+
+def q_gapfill_locf_1h(spark, sf_dir):
+    t1h = rollup_from_turns(_metrics(spark, sf_dir), "1h")
+    filled = gap_fill(t1h, "1h", ["sum_tokens"], method="locf")
+    return filled.select(
+        "conv_id", "window_start_us", "n_points", "is_filled", "sum_tokens"
+    )
+
+
+def q_gapfill_linear_1h(spark, sf_dir):
+    t1h = rollup_from_turns(_metrics(spark, sf_dir), "1h")
+    filled = gap_fill(t1h, "1h", ["sum_tokens"], method="linear")
+    return filled.select(
+        "conv_id",
+        "window_start_us",
+        "n_points",
+        "is_filled",
+        F.round(F.col("sum_tokens"), 6).alias("sum_tokens_f"),
+    )
+
+
+def q_selections(spark, sf_dir):
+    t = transcripts_from_events(spark, sf_dir)
+    lo, hi = 1_704_067_200_000_000, 1_704_240_000_000_000  # 2024-01-01 .. 01-03
+    return (
+        t.withColumn("ts_us", ts_us_col("ts"))
+        .filter(F.col("conv_id").like("conv_1%") & F.col("ts_us").between(lo, hi))
+        .select("conv_id", "turn_idx", "role", "tool", "text", "ts_us")
+    )
+
+
+def q_autoscale(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    grp = ev.groupBy("user_id").agg(
+        F.max(F.abs("value")).alias("max_abs"),
+        (F.max(F.when(F.abs(F.col("value") - F.col("value").cast("long")) > 1e-9, 1).otherwise(0)) == 1).alias("has_frac"),
+    )
+    digits = F.length(F.floor("max_abs").cast("long").cast("string"))
+    grp = grp.withColumn(
+        "scale",
+        F.when(
+            F.col("has_frac"), F.round(F.pow(10.0, F.greatest(F.lit(6) - digits, F.lit(0)))).cast("long")
+        ).otherwise(F.lit(1).cast("long")),
+    )
+    joined = ev.join(F.broadcast(grp), "user_id")
+    return joined.groupBy("user_id", "max_abs", "has_frac", "scale").agg(
+        F.sum((F.col("value") * F.col("scale")).cast("long")).alias("sum_scaled_trunc"),
+        F.sum(F.floor(F.col("value") * F.col("scale") + 0.5).cast("long")).alias("sum_scaled_round"),
+    ).select(
+        "user_id", F.round("max_abs", 6).alias("max_abs"), "has_frac", "scale",
+        "sum_scaled_trunc", "sum_scaled_round",
+    )
+
+
+def q_pack_stats_1m(spark, sf_dir):
+    packed = pack_tier(_metrics(spark, sf_dir), "1m")
+    return packed.select(
+        "conv_id", "window_start_us", "n_points", "n_chunks", "first_ts_us", "last_ts_us"
+    )
+
+
+def q_roundtrip_1m(spark, sf_dir):
+    packed = pack_tier(_metrics(spark, sf_dir), "1m")
+    up = unpack_tier(packed)
+    lat = F.col("latency_us_f")
+    return up.select(
+        "conv_id",
+        "ts_us",
+        F.when(F.isnan(lat), None).otherwise(lat).alias("latency_us"),
+        F.col("token_count_f").alias("token_count"),
+    )
+
+
+def q_dedup_exact(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return D.dedup_exact(_aug_docs(docs))
+
+
+def q_text_quality(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        T.token_count("text").alias("n_tokens"),
+        T.bpe_token_count("text").alias("bpe_tokens"),
+        F.round(T.punct_ratio("text"), 6).alias("punct_ratio"),
+        F.round(T.stopword_ratio("text"), 6).alias("stopword_ratio"),
+        T.quality_score("text").alias("quality"),
+        T.lang_id("text").alias("lang_pred"),
+    )
+
+
+def q_doc_fingerprint(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", T.doc_fingerprint("text").alias("fingerprint"))
+
+
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return D.ngram_jaccard_pairs(_aug_docs(docs), threshold=0.5)
+
+
+def q_dedup_minhash_lsh(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return D.minhash_lsh_pairs(_aug_docs(docs), threshold=0.5)
+
+
+def q_dedup_simhash(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return D.simhash(_aug_docs(docs))
+
+
+def q_simhash_pairs(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return D.simhash_pairs(_aug_docs(docs), max_hamming=3)
+
+
+def q_knn_bruteforce(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.knn_bruteforce(emb, emb.filter(F.col("vec_id") % 50 == 0), k=5)
+
+
+def q_knn_lsh(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.knn_lsh(emb, emb.filter(F.col("vec_id") % 50 == 0), k=5)
+
+
+def q_multimodal_features(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    media = synth_media(docs)
+    return extract_features(media, fake_decode=True).orderBy("media_id")
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full tier cascade over sf0.001 transcripts, 1h derived."""
+    return q_tier_derived_1h(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "transcripts": q_transcripts,
+        "rollup_1m": q_rollup_1m,
+        "rollup_1h": q_rollup_1h,
+        "rollup_1d": q_rollup_1d,
+        "tier_derived_1h": q_tier_derived_1h,
+        "segments": q_segments,
+        "gap_report": q_gap_report,
+        "gapfill_locf_1h": q_gapfill_locf_1h,
+        "gapfill_linear_1h": q_gapfill_linear_1h,
+        "selections": q_selections,
+        "autoscale": q_autoscale,
+        "pack_stats_1m": q_pack_stats_1m,
+        "roundtrip_1m": q_roundtrip_1m,
+        "dedup_exact": q_dedup_exact,
+        "text_quality": q_text_quality,
+        "doc_fingerprint": q_doc_fingerprint,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_simhash": q_dedup_simhash,
+        "simhash_pairs": q_simhash_pairs,
+        "knn_bruteforce": q_knn_bruteforce,
+        "knn_lsh": q_knn_lsh,
+        "multimodal_features": q_multimodal_features,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ----------------------------------------------------------------------
+# DuckDB oracles
+# ----------------------------------------------------------------------
+
+def _segments_sql() -> str:
+    return f"""{_ORACLE_PREFIX},
+s AS (
+  SELECT *, CASE WHEN ts_us - lag(ts_us) OVER
+      (PARTITION BY conv_id ORDER BY ts_us, turn_idx) > 1800000000
+    THEN 1 ELSE 0 END AS brk
+  FROM m
+),
+seg AS (
+  SELECT *, CAST(sum(brk) OVER (PARTITION BY conv_id ORDER BY ts_us, turn_idx
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS segment_id
+  FROM s
+)
+SELECT conv_id, segment_id,
+       min(ts_us) AS seg_start_us, max(ts_us) AS seg_end_us,
+       count(*) AS n_turns, CAST(sum(token_count) AS BIGINT) AS sum_tokens
+FROM seg GROUP BY 1, 2
+"""
+
+
+def _gap_report_sql() -> str:
+    return f"""{_ORACLE_PREFIX},
+g AS (
+  SELECT conv_id, turn_idx, ts_us,
+         lag(ts_us) OVER w AS prev_ts_us,
+         lag(turn_idx) OVER w AS prev_turn_idx
+  FROM m WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx, ts_us)
+)
+SELECT conv_id, prev_turn_idx, turn_idx, prev_ts_us, ts_us,
+       ts_us - prev_ts_us AS gap_us
+FROM g
+WHERE prev_ts_us IS NOT NULL
+  AND (ts_us - prev_ts_us >= 600000000 OR ts_us - prev_ts_us < 0)
+"""
+
+
+def _gapfill_sql(method: str) -> str:
+    w = _TIER_US["1h"]
+    if method == "locf":
+        fill = (
+            "last_value(t.sum_tokens IGNORE NULLS) OVER "
+            "(PARTITION BY g.conv_id ORDER BY g.window_start_us "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sum_tokens"
+        )
+    else:
+        fill = """
+    round(CASE WHEN t.sum_tokens IS NOT NULL THEN CAST(t.sum_tokens AS DOUBLE)
+      WHEN pv IS NOT NULL AND nv IS NOT NULL AND nt <> pt THEN
+        CAST(pv AS DOUBLE) + CAST(nv - pv AS DOUBLE)
+          * (g.window_start_us - pt) / (nt - pt)
+      ELSE CAST(coalesce(pv, nv) AS DOUBLE) END, 6) AS sum_tokens_f"""
+    prev_next = """
+         last_value(t.sum_tokens IGNORE NULLS) OVER wb AS pv,
+         last_value(CASE WHEN t.sum_tokens IS NOT NULL
+             THEN g.window_start_us END IGNORE NULLS) OVER wb AS pt,
+         first_value(t.sum_tokens IGNORE NULLS) OVER wf AS nv,
+         first_value(CASE WHEN t.sum_tokens IS NOT NULL
+             THEN g.window_start_us END IGNORE NULLS) OVER wf AS nt,
+    """ if method == "linear" else ""
+    select_fill = fill if method == "locf" else "sum_tokens_f"
+    inner = f"""
+  SELECT g.conv_id, g.window_start_us,
+         coalesce(t.n_points, 0) AS n_points,
+         t.conv_id IS NULL AS is_filled,
+         {prev_next}
+         t.sum_tokens
+  FROM grid g LEFT JOIN t1h t
+    ON g.conv_id = t.conv_id AND g.window_start_us = t.window_start_us
+  WINDOW wb AS (PARTITION BY g.conv_id ORDER BY g.window_start_us
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wf AS (PARTITION BY g.conv_id ORDER BY g.window_start_us
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+"""
+    outer_val = (
+        "last_value(sum_tokens IGNORE NULLS) OVER (PARTITION BY conv_id "
+        "ORDER BY window_start_us ROWS BETWEEN UNBOUNDED PRECEDING AND "
+        "CURRENT ROW) AS sum_tokens"
+        if method == "locf"
+        else fill.replace("t.sum_tokens", "sum_tokens").replace("g.window_start_us", "window_start_us")
+    )
+    return f"""{_ORACLE_PREFIX},
+t1h AS (
+  SELECT conv_id,
+         CAST(floor(ts_us / {w}.0) AS BIGINT) * {w} AS window_start_us,
+         count(*) AS n_points,
+         CAST(sum(token_count) AS BIGINT) AS sum_tokens
+  FROM m GROUP BY 1, 2
+),
+b AS (SELECT conv_id, min(window_start_us) AS mn, max(window_start_us) AS mx
+      FROM t1h GROUP BY 1),
+grid AS (SELECT conv_id, unnest(generate_series(mn, mx, {w})) AS window_start_us
+         FROM b),
+dense AS ({inner})
+SELECT conv_id, window_start_us, n_points, is_filled, {outer_val}
+FROM dense
+"""
+
+
+def _autoscale_sql() -> str:
+    return """
+WITH grp AS (
+  SELECT user_id,
+         max(abs(value)) AS max_abs,
+         max(CASE WHEN abs(value - trunc(value)) > 1e-9 THEN 1 ELSE 0 END) = 1
+           AS has_frac
+  FROM events GROUP BY 1
+),
+sc AS (
+  SELECT *, CASE WHEN has_frac THEN CAST(round(pow(10,
+      greatest(6 - length(CAST(CAST(floor(max_abs) AS BIGINT) AS VARCHAR)), 0)
+    )) AS BIGINT) ELSE 1 END AS scale
+  FROM grp
+)
+SELECT e.user_id, round(s.max_abs, 6) AS max_abs, s.has_frac, s.scale,
+       CAST(sum(CAST(trunc(e.value * s.scale) AS BIGINT)) AS BIGINT)
+         AS sum_scaled_trunc,
+       CAST(sum(CAST(floor(e.value * s.scale + 0.5) AS BIGINT)) AS BIGINT)
+         AS sum_scaled_round
+FROM events e JOIN sc s ON e.user_id = s.user_id
+GROUP BY 1, 2, 3, 4
+"""
+
+
+def _pack_stats_sql() -> str:
+    w = _TIER_US["1m"]
+    return f"""{_ORACLE_PREFIX}
+SELECT conv_id,
+       CAST(floor(ts_us / {w}.0) AS BIGINT) * {w} AS window_start_us,
+       count(*) AS n_points,
+       CAST(count(DISTINCT CAST(floor(turn_idx / 4096.0) AS INTEGER)) AS INTEGER)
+         AS n_chunks,
+       min(ts_us) AS first_ts_us,
+       max(ts_us) AS last_ts_us
+FROM m GROUP BY 1, 2
+"""
+
+
+def _text_quality_sql() -> str:
+    toks = _TOKENS_SQL.format(t="text")
+    sw = f"len(list_filter({toks}, t -> list_contains({_STOPWORDS_SQL}, lower(t))))"
+    ntok = f"len({toks})"
+    swr = f"CASE WHEN {ntok} > 0 THEN {sw} / {ntok} ELSE 0.0 END"
+    punct = (
+        "CASE WHEN length(text) > 0 THEN "
+        "len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) / length(text) "
+        "ELSE 0.0 END"
+    )
+    quality = f"round(least(length(text) / 500.0, 1.0) * (1.0 - {punct}) * (0.5 + 0.5 * {swr}), 6)"
+    lang = f"CASE WHEN {ntok} < 3 THEN 'und' WHEN {swr} >= 0.05 THEN 'en' ELSE 'xx' END"
+    return f"""
+SELECT doc_id,
+       CAST({ntok} AS BIGINT) AS n_tokens,
+       CAST(len(regexp_extract_all(text, '{T.BPE_TOKEN_RE}')) AS BIGINT) AS bpe_tokens,
+       round({punct}, 6) AS punct_ratio,
+       round({swr}, 6) AS stopword_ratio,
+       {quality} AS quality,
+       {lang} AS lang_pred
+FROM documents
+"""
+
+
+def _fingerprint_sql() -> str:
+    g = h60_sql("substr(trim(text), i, 8)")
+    return f"""
+SELECT doc_id,
+       list_min([{g} FOR i IN range(1, greatest(length(trim(text)) - 6, 2))])
+         AS fingerprint
+FROM documents
+"""
+
+
+def _dedup_exact_sql() -> str:
+    return f"""
+WITH aug AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id,
+         array_to_string(({_TOKENS_SQL.format(t='text')})[6:], ' ') AS text
+  FROM documents WHERE doc_id < 50
+)
+SELECT min(doc_id) AS keep_id, count(*) AS n_dups,
+       {h60_sql('text')} AS text_h60
+FROM aug GROUP BY 3
+"""
+
+
+def _jaccard_sql(threshold: float) -> str:
+    return f"""
+WITH {_AUG_DOCS_SQL},
+pairs AS (
+  SELECT l.doc AS a, r.doc AS b, count(*) AS inter
+  FROM shs l JOIN shs r ON l.sh_h = r.sh_h AND l.doc < r.doc
+  GROUP BY 1, 2
+)
+SELECT p.a, p.b, p.inter,
+       round(p.inter / (sa.sz + sb.sz - p.inter), 6) AS jaccard
+FROM pairs p JOIN sizes sa ON p.a = sa.doc JOIN sizes sb ON p.b = sb.doc
+WHERE round(p.inter / (sa.sz + sb.sz - p.inter), 6) >= {threshold}
+"""
+
+
+def _minhash_sql(threshold: float) -> str:
+    k, band_rows = D.MINHASH_K, D.MINHASH_BAND
+    n_bands = k // band_rows
+    mins = ",\n         ".join(
+        f"min({h60_sql('sh', seed=f'mh{j}')}) AS s{j}" for j in range(k)
+    )
+    band_rels = "\n  UNION ALL\n".join(
+        "  SELECT doc, {b} AS band, concat({expr}) AS bucket FROM sigs".format(
+            b=b,
+            expr=", ':', ".join(
+                f"CAST(s{b * band_rows + r} AS VARCHAR)" for r in range(band_rows)
+            ),
+        )
+        for b in range(n_bands)
+    )
+    return f"""
+WITH {_AUG_DOCS_SQL},
+sigs AS (
+  SELECT doc, {mins}
+  FROM sh GROUP BY doc
+),
+bands AS (
+{band_rels}
+),
+cand AS (
+  SELECT DISTINCT l.doc AS a, r.doc AS b
+  FROM bands l JOIN bands r
+    ON l.band = r.band AND l.bucket = r.bucket AND l.doc < r.doc
+),
+inter AS (
+  SELECT c.a, c.b, count(*) AS inter
+  FROM cand c
+  JOIN shs la ON la.doc = c.a
+  JOIN shs lb ON lb.doc = c.b AND lb.sh_h = la.sh_h
+  GROUP BY 1, 2
+)
+SELECT i.a, i.b, round(i.inter / (sa.sz + sb.sz - i.inter), 6) AS jaccard
+FROM inter i JOIN sizes sa ON i.a = sa.doc JOIN sizes sb ON i.b = sb.doc
+WHERE round(i.inter / (sa.sz + sb.sz - i.inter), 6) >= {threshold}
+"""
+
+
+def _simhash_core_sql() -> str:
+    bits = D.SIMHASH_BITS
+    sums = ",\n         ".join(
+        f"sum(CASE WHEN (th >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}"
+        for b in range(bits)
+    )
+    fp = " + ".join(
+        f"CASE WHEN s{b} > 0 THEN CAST({1 << b} AS BIGINT) ELSE 0 END"
+        for b in range(bits)
+    )
+    return f"""
+toks AS (
+  SELECT doc_id AS doc, unnest({_TOKENS_SQL.format(t='text')}) AS tok FROM aug
+),
+th AS (SELECT doc, {h60_sql('tok')} AS th FROM toks),
+bitsums AS (
+  SELECT doc, {sums}
+  FROM th GROUP BY doc
+),
+fps AS (SELECT doc AS doc_id, {fp} AS simhash FROM bitsums)
+"""
+
+
+def _simhash_sql() -> str:
+    return f"""
+WITH aug AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id,
+         array_to_string(({_TOKENS_SQL.format(t='text')})[6:], ' ') AS text
+  FROM documents WHERE doc_id < 50
+),
+{_simhash_core_sql()}
+SELECT doc_id, simhash FROM fps
+"""
+
+
+def _simhash_pairs_sql(max_hamming: int = 3) -> str:
+    n_bands, bw = 4, D.SIMHASH_BITS // 4
+    band_rels = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id AS doc, simhash, {i} AS band, "
+        f"(simhash >> {i * bw}) & {(1 << bw) - 1} AS key FROM fps"
+        for i in range(n_bands)
+    )
+    return f"""
+WITH aug AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id,
+         array_to_string(({_TOKENS_SQL.format(t='text')})[6:], ' ') AS text
+  FROM documents WHERE doc_id < 50
+),
+{_simhash_core_sql()},
+banded AS (
+{band_rels}
+),
+cand AS (
+  SELECT DISTINCT l.doc AS a, r.doc AS b, l.simhash AS ha, r.simhash AS hb
+  FROM banded l JOIN banded r
+    ON l.band = r.band AND l.key = r.key AND l.doc < r.doc
+)
+SELECT a, b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+FROM cand WHERE bit_count(xor(ha, hb)) <= {max_hamming}
+"""
+
+
+def _knn_sql(k: int = 5) -> str:
+    return f"""
+WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+           FROM embeddings WHERE vec_id % 50 = 0),
+c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+      FROM embeddings),
+s AS (
+  SELECT query_id, neighbor_id,
+         round(list_dot_product(qv, cv) /
+               (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))),
+               6) AS sim
+  FROM q, c WHERE neighbor_id <> query_id
+)
+SELECT query_id, neighbor_id,
+       CAST(row_number() OVER w AS INTEGER) AS rank, sim
+FROM s
+WINDOW w AS (PARTITION BY query_id ORDER BY sim DESC, neighbor_id)
+QUALIFY row_number() OVER w <= {k}
+"""
+
+
+def _plane_literal(p: int, dims: int = 64) -> str:
+    import hashlib
+
+    ws = []
+    for d in range(dims):
+        h = int(hashlib.md5(f"pl{p}:{d}".encode()).hexdigest()[:15], 16)
+        ws.append("1.0" if h % 2 == 0 else "-1.0")
+    return "[" + ",".join(ws) + "]"
+
+
+def _knn_lsh_sql(k: int = 5) -> str:
+    n_planes, bands = S.N_PLANES, S.PLANE_BANDS
+    bw = n_planes // bands
+    sig_terms = " + ".join(
+        f"CASE WHEN list_dot_product(v, {_plane_literal(p)}) > 0 "
+        f"THEN CAST({1 << p} AS BIGINT) ELSE 0 END"
+        for p in range(n_planes)
+    )
+    band_rels = "\n  UNION ALL\n".join(
+        f"  SELECT id, v, {i} AS band, (sig >> {i * bw}) & {(1 << bw) - 1} AS key FROM sigs"
+        for i in range(bands)
+    )
+    return f"""
+WITH base AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+sigs AS (SELECT id, v, {sig_terms} AS sig FROM base),
+banded AS (
+{band_rels}
+),
+cand AS (
+  SELECT DISTINCT q.id AS query_id, q.v AS qv, c.id AS neighbor_id, c.v AS cv
+  FROM banded c JOIN banded q
+    ON c.band = q.band AND c.key = q.key
+  WHERE q.id % 50 = 0 AND c.id <> q.id
+),
+s AS (
+  SELECT query_id, neighbor_id,
+         round(list_dot_product(qv, cv) /
+               (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))),
+               6) AS sim
+  FROM cand
+)
+SELECT query_id, neighbor_id,
+       CAST(row_number() OVER w AS INTEGER) AS rank, sim
+FROM s
+WINDOW w AS (PARTITION BY query_id ORDER BY sim DESC, neighbor_id)
+QUALIFY row_number() OVER w <= {k}
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    lo, hi = 1_704_067_200_000_000, 1_704_240_000_000_000
+    return {
+        "transcripts": f"{_ORACLE_PREFIX} SELECT conv_id, turn_idx, role, text, tool, ts_us FROM m",
+        "rollup_1m": _rollup_sql("1m"),
+        "rollup_1h": _rollup_sql("1h"),
+        "rollup_1d": _rollup_sql("1d"),
+        "tier_derived_1h": f"""{_ORACLE_PREFIX},
+t AS ({_rollup_sql('1h').replace(_ORACLE_PREFIX, '')})
+SELECT conv_id, window_start_us, n_points,
+       round(n_points / 3600.0, 6) AS turn_rate,
+       round(CASE WHEN n_latency > 0
+             THEN sum_latency_us / n_latency END, 6) AS avg_latency_us
+FROM t""",
+        "segments": _segments_sql(),
+        "gap_report": _gap_report_sql(),
+        "gapfill_locf_1h": _gapfill_sql("locf"),
+        "gapfill_linear_1h": _gapfill_sql("linear"),
+        "selections": f"""{_ORACLE_PREFIX}
+SELECT conv_id, turn_idx, role, tool, text, ts_us FROM m
+WHERE conv_id LIKE 'conv_1%' AND ts_us BETWEEN {lo} AND {hi}""",
+        "autoscale": _autoscale_sql(),
+        "pack_stats_1m": _pack_stats_sql(),
+        "roundtrip_1m": f"""{_ORACLE_PREFIX}
+SELECT conv_id, ts_us, CAST(latency_us AS DOUBLE) AS latency_us,
+       CAST(token_count AS DOUBLE) AS token_count
+FROM m""",
+        "dedup_exact": _dedup_exact_sql(),
+        "text_quality": _text_quality_sql(),
+        "doc_fingerprint": _fingerprint_sql(),
+        "dedup_ngram_jaccard": _jaccard_sql(0.5),
+        "dedup_minhash_lsh": _minhash_sql(0.5),
+        "dedup_simhash": _simhash_sql(),
+        "simhash_pairs": _simhash_pairs_sql(3),
+        "knn_bruteforce": _knn_sql(5),
+        "knn_lsh": _knn_lsh_sql(5),
+        # multimodal_features: no oracle (binary payload ops aren't
+        # SQL-expressible) -> driver records rows-only check
+    }

@@ -1,0 +1,108 @@
+"""Benchmark harness — prints ONE JSON line.
+
+Headline: rolled-up points/sec across the 1m/1h/1d tier cascade + packed
+payloads on a deterministic synthetic transcripts table (~1.7M turns,
+FIXTURES['t_bench']), plus per-operator timings over the driver's sf tables
+($SPARK_GRAFT_SF_DIR, default /root/testdata/sf0.1).
+
+Every query is forced with a noop-sink write (full computation, zero
+driver-side collection cost) — the number measures the engine, not py4j.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+import __spark_entry__ as E  # noqa: E402
+from sac2mseed_spark.functions.metrics import derive_turn_metrics  # noqa: E402
+from sac2mseed_spark.operators.pack import pack_tier  # noqa: E402
+from sac2mseed_spark.operators.rollup import rollup_cascade  # noqa: E402
+from sac2mseed_spark.session import get_spark  # noqa: E402
+from sac2mseed_spark.sources.transcripts import generate_transcripts  # noqa: E402
+
+
+def force(df):
+    df.write.format("noop").mode("overwrite").save()
+
+
+def timed(fn):
+    t0 = time.perf_counter()
+    fn()
+    return round(time.perf_counter() - t0, 3)
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = get_spark("bench", master=f"local[{cpus}]", shuffle_partitions=int(cpus))
+    spark.sparkContext.setLogLevel("ERROR")
+
+    queries: dict[str, float] = {}
+
+    # ---- headline: synthetic cascade + pack (rolled-up points/sec) ----
+    t = generate_transcripts(spark, "t_bench", seed=42)
+    m = derive_turn_metrics(t).persist()
+    n_turns = m.count()  # materializes the persist; excluded from timing of tiers
+
+    def run_cascade():
+        tiers = rollup_cascade(m)
+        t1m = tiers["1m"].persist()
+        force(t1m)
+        force(tiers["1h"])  # re-aggregates the persisted 1m
+        force(tiers["1d"])
+        run_cascade.t1m = t1m
+
+    queries["synth_cascade"] = timed(run_cascade)
+    tiers = rollup_cascade(m)
+    rolled_points = (
+        tiers["1m"].count() + tiers["1h"].count() + tiers["1d"].count()
+    )
+    queries["synth_pack_1m"] = timed(lambda: force(pack_tier(m, "1m")))
+    m.unpersist()
+
+    pps = rolled_points / queries["synth_cascade"]
+
+    # ---- driver-table operator suite at sf_dir ----
+    qs = E.queries()
+    for name in [
+        "rollup_1m",
+        "rollup_1d",
+        "pack_stats_1m",
+        "segments",
+        "gapfill_linear_1h",
+        "gap_report",
+        "dedup_exact",
+        "text_quality",
+        "doc_fingerprint",
+        "dedup_minhash_lsh",
+        "simhash_pairs",
+        "knn_bruteforce",
+        "knn_lsh",
+        "multimodal_features",
+    ]:
+        queries[name] = timed(lambda n=name: force(qs[n](spark, sf_dir)))
+
+    total = round(sum(queries.values()), 3)
+    out = {
+        "metric": "rolled-up points/sec across 1m/1h/1d tiers (synthetic transcripts, ~1.7M turns) + operator suite wall time",
+        "value": total,
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf_dir,
+        "cpus": int(cpus),
+        "n_turns": n_turns,
+        "rolled_points": rolled_points,
+        "points_per_sec": round(pps, 1),
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -27,6 +27,12 @@ def turn_window() -> Window:
     return Window.partitionBy("conv_id").orderBy(*TURN_ORDER)
 
 
+def ts_us_col(ts_col="ts"):
+    """Epoch microseconds of a timestamp column; tolerates TIMESTAMP_NTZ
+    (parquet default) — the session TZ is pinned UTC so the cast is exact."""
+    return F.unix_micros(F.col(ts_col).cast("timestamp"))
+
+
 def token_count_col(text_col="text"):
     """Whitespace token count; empty/blank text counts 0 tokens.
 
@@ -44,7 +50,7 @@ def derive_turn_metrics(transcripts: DataFrame) -> DataFrame:
     mirroring the reference's "no gap before the first record".
     """
     w = turn_window()
-    ts_us = F.unix_micros("ts")
+    ts_us = ts_us_col("ts")
     return (
         transcripts.withColumn("ts_us", ts_us)
         .withColumn("latency_us", F.col("ts_us") - F.lag("ts_us").over(w))

@@ -1,0 +1,151 @@
+"""Multimodal (image/audio/video) column plumbing.
+
+Media ride as opaque BINARY columns with a typed metadata struct — the same
+"small header row + opaque payload" shape as the packed tier tables (and the
+reference's record model, /root/reference/libmseed/libmseed.h:467-499).
+
+The Spark-side contract is real and tested: schemas, Arrow batch shapes,
+mapInPandas signatures, partitioning. The actual pixel/sample decode is
+STUBBED — this container has no image/audio libraries — behind
+``_decode_real`` (raises NotImplementedError) with a deterministic fake
+(`fake_decode=True`) used by tests and the driver queries: features are pure
+functions of the payload bytes, so results are reproducible anywhere.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("kind", StringType()),  # image | audio | video
+        StructField("payload", BinaryType()),
+        StructField("n_bytes", LongType()),
+        StructField("mime", StringType()),
+    ]
+)
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("kind", StringType()),
+        StructField("n_bytes", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("n_frames", IntegerType()),
+        StructField("mean_level", DoubleType()),
+        StructField("digest", StringType()),
+    ]
+)
+
+
+def synth_media(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Deterministic fake media table derived from a text corpus: payload =
+    utf-8 bytes of the text (opaque to everything downstream), kind cycles
+    by id. Stands in for `spark.read.format('binaryFile')` / an Iceberg
+    table with a BINARY column."""
+    kind = F.element_at(
+        F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+        (F.col(id_col) % 3 + 1).cast("int"),
+    )
+    payload = F.encode(F.col(text_col), "utf-8")
+    return docs.select(
+        F.col(id_col).alias("media_id"),
+        kind.alias("kind"),
+        payload.alias("payload"),
+        F.length(payload).cast("long").alias("n_bytes"),
+        F.concat(F.lit("application/x-fake-"), kind).alias("mime"),
+    )
+
+
+def _decode_real(payload: bytes, kind: str):
+    """Real decode path — requires image/audio libs not present here."""
+    raise NotImplementedError(
+        "real media decode requires PIL/av/soundfile; use fake_decode=True"
+    )
+
+
+def _decode_fake(payload: bytes, kind: str):
+    """Deterministic fake decode: dimensions/frames/levels are pure
+    functions of the payload digest + length. Replaced by a real decoder
+    behind the same return contract (width, height, n_frames, mean_level)."""
+    d = hashlib.md5(payload).digest()
+    n = len(payload)
+    width = 16 + d[0] % 64
+    height = 16 + d[1] % 64
+    n_frames = 1 if kind == "image" else 1 + d[2] % 32
+    mean_level = (sum(payload) / n / 255.0) if n else 0.0
+    return width, height, n_frames, round(mean_level, 6)
+
+
+def extract_features(media: DataFrame, fake_decode: bool = True) -> DataFrame:
+    """Decode/feature-extract via mapInPandas (Arrow batches of payloads).
+
+    Column pruning matters at scale: the UDF receives only (media_id, kind,
+    payload); any metadata-only query upstream never deserializes payload
+    bytes (kept in its own parquet column).
+    """
+    decode = _decode_fake if fake_decode else _decode_real
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            feats = [
+                decode(bytes(p), k) for p, k in zip(pdf["payload"], pdf["kind"])
+            ]
+            w, h, nf, ml = (np.array(x) for x in zip(*feats))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].to_numpy(),
+                    "kind": pdf["kind"].to_numpy(),
+                    "n_bytes": [len(bytes(p)) for p in pdf["payload"]],
+                    "width": w.astype(np.int32),
+                    "height": h.astype(np.int32),
+                    "n_frames": nf.astype(np.int32),
+                    "mean_level": ml.astype(np.float64),
+                    "digest": [hashlib.md5(bytes(p)).hexdigest() for p in pdf["payload"]],
+                }
+            )
+
+    return media.select("media_id", "kind", "payload").mapInPandas(
+        run, schema=FEATURE_SCHEMA
+    )
+
+
+def frame_sample(media: DataFrame, every_n: int = 8, fake_decode: bool = True) -> DataFrame:
+    """Frame sampling plumbing: one output row per sampled frame index.
+
+    For videos the fake decoder reports n_frames; sampled indices are
+    0, every_n, 2*every_n, ... Real decoders substitute actual frame grabs
+    behind the same (media_id, frame_idx, frame BINARY) contract.
+    """
+    feats = extract_features(media, fake_decode=fake_decode)
+    return (
+        feats.filter(F.col("kind") == "video")
+        .select(
+            "media_id",
+            F.explode(
+                F.sequence(
+                    F.lit(0), F.col("n_frames") - 1, F.lit(every_n)
+                )
+            ).alias("frame_idx"),
+        )
+        .withColumn("frame", F.lit(None).cast("binary"))  # stub: real grab here
+    )

@@ -47,6 +47,13 @@ def get_spark(
         cpus = os.environ.get("SPARK_GRAFT_CPUS")
         master = f"local[{cpus}]" if cpus else "local[*]"
     builder = builder.master(master)
+    if master.startswith("local"):
+        # local mode = one JVM for driver+executors; size the heap for the
+        # thread count instead of Spark's 1g default (cluster mode gets
+        # memory from spark-submit flags instead).
+        builder = builder.config(
+            "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g")
+        )
     for k, v in ENGINE_CONFS.items():
         builder = builder.config(k, v)
     if shuffle_partitions is None:

@@ -57,6 +57,9 @@ FIXTURES: dict[str, TranscriptSpec] = {
     "t_ooo": TranscriptSpec(50, 100, 100, shuffle_rows=True),
     "t_hot": TranscriptSpec(1000, 20, 100, n_hot=3, hot_turns=100_000),
     "t_edge": TranscriptSpec(30, 1, 2, edge_cases=True),
+    # bench scale: ~1.7M turns, 5 hot conversations (Zipf head) to exercise
+    # the skew path; all closed-form, generated in-flight (no disk)
+    "t_bench": TranscriptSpec(3000, 200, 800, n_hot=5, hot_turns=50_000),
 }
 
 # Max turns materialized from a single generator input row.  Hot
