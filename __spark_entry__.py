@@ -259,20 +259,12 @@ def q_dedup_exact(spark, sf_dir):
 
 def q_text_quality(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id",
-        T.token_count("text").alias("n_tokens"),
-        T.bpe_token_count("text").alias("bpe_tokens"),
-        F.round(T.punct_ratio("text"), 6).alias("punct_ratio"),
-        F.round(T.stopword_ratio("text"), 6).alias("stopword_ratio"),
-        T.quality_score("text").alias("quality"),
-        T.lang_id("text").alias("lang_pred"),
-    )
+    return T.text_profile(docs)
 
 
 def q_doc_fingerprint(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select("doc_id", T.doc_fingerprint("text").alias("fingerprint"))
+    return T.doc_fingerprints(docs)
 
 
 def q_dedup_ngram_jaccard(spark, sf_dir):
@@ -552,8 +544,10 @@ WHERE round(p.inter / (sa.sz + sb.sz - p.inter), 6) >= {threshold}
 def _minhash_sql(threshold: float) -> str:
     k, band_rows = D.MINHASH_K, D.MINHASH_BAND
     n_bands = k // band_rows
+    h1, h2 = h60_sql("sh"), h60_sql("sh", seed="mh2")
     mins = ",\n         ".join(
-        f"min({h60_sql('sh', seed=f'mh{j}')}) AS s{j}" for j in range(k)
+        f"min(({h1} + {j} * (({h2}) % {D.MH_H2_MOD})) % {D.MH_MOD}) AS s{j}"
+        for j in range(k)
     )
     band_rels = "\n  UNION ALL\n".join(
         "  SELECT doc, {b} AS band, concat({expr}) AS bucket FROM sigs".format(

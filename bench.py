@@ -46,6 +46,13 @@ def main():
 
     queries: dict[str, float] = {}
 
+    # warm the Python worker pool (one tiny Arrow UDF round-trip) so the
+    # timings below measure the engine, not 32 interpreter cold-starts
+    warm = spark.range(64).mapInPandas(
+        lambda it: (pdf for pdf in it), schema="id long"
+    )
+    force(warm)
+
     # ---- headline: synthetic cascade + pack (rolled-up points/sec) ----
     t = generate_transcripts(spark, "t_bench", seed=42)
     m = derive_turn_metrics(t).persist()

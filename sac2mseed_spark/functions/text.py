@@ -89,6 +89,67 @@ def shingles(text: Column | str, k: int = 3) -> Column:
     return F.when(n >= k, grams).otherwise(F.array(full))
 
 
+def text_profile(docs, id_col: str = "doc_id", text_col: str = "text"):
+    """DataFrame-level text-quality profile: one explode + one codegen'd
+    aggregation instead of per-row interpreted higher-order functions.
+
+    Values are identical to the scalar helpers above (integer counts, same
+    float expression tree); this shape is the one that survives a 100 TB
+    scan — token counting rides whole-stage codegen, and the only exchange
+    is the partial/final agg on doc_id.
+    """
+    from pyspark.sql import DataFrame  # noqa: F401
+
+    c = F.col(text_col)
+    base = docs.select(
+        F.col(id_col),
+        F.length(c).alias("_len"),
+        F.regexp_count(c, F.lit("[^A-Za-z0-9\\s]")).alias("_punct"),
+        F.regexp_count(c, F.lit(BPE_TOKEN_RE)).cast("long").alias("bpe_tokens"),
+        ws_tokens(text_col).alias("_toks"),
+    )
+    ex = base.select(
+        id_col, "_len", "_punct", "bpe_tokens", F.explode_outer("_toks").alias("_tok")
+    )
+    agg = ex.groupBy(id_col, "_len", "_punct", "bpe_tokens").agg(
+        F.count("_tok").alias("n_tokens"),
+        F.count(F.when(F.lower("_tok").isin(EN_STOPWORDS), 1)).alias("_sw"),
+    )
+    swr = F.when(F.col("n_tokens") > 0, F.col("_sw") / F.col("n_tokens")).otherwise(
+        F.lit(0.0)
+    )
+    punct = F.when(F.col("_len") > 0, F.col("_punct") / F.col("_len")).otherwise(
+        F.lit(0.0)
+    )
+    len_factor = F.least(F.col("_len") / F.lit(500.0), F.lit(1.0))
+    return agg.select(
+        id_col,
+        "n_tokens",
+        "bpe_tokens",
+        F.round(punct, 6).alias("punct_ratio"),
+        F.round(swr, 6).alias("stopword_ratio"),
+        F.round(len_factor * (1.0 - punct) * (0.5 + 0.5 * swr), 6).alias("quality"),
+        F.when(F.col("n_tokens") < 3, F.lit("und"))
+        .when(swr >= 0.05, F.lit("en"))
+        .otherwise(F.lit("xx"))
+        .alias("lang_pred"),
+    )
+
+
+def doc_fingerprints(docs, id_col: str = "doc_id", text_col: str = "text", k: int = 8):
+    """DataFrame-level fingerprinting: explode k-gram start offsets, hash,
+    min per doc — codegen'd end to end (min is order-free, so the result
+    matches the scalar expression form bit-for-bit)."""
+    t = F.trim(F.col(text_col))
+    n = F.length(t)
+    ex = docs.select(
+        F.col(id_col),
+        t.alias("_t"),
+        F.explode(F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))).alias("_i"),
+    ).select(id_col, h60(F.col("_t").substr(F.col("_i"), F.lit(k))).alias("_h"))
+    return ex.groupBy(id_col).agg(F.min("_h").alias("fingerprint"))
+
+
 def doc_fingerprint(text: Column | str, k: int = 8) -> Column:
     """Winnowing-style fingerprint: min 60-bit hash over k-gram character
     shingles of the trimmed text (rolling-hash analogue, computed set-wise —

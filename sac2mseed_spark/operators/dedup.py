@@ -32,7 +32,10 @@ from ..functions.text import shingles, ws_tokens
 
 MINHASH_K = 12  # signature length
 MINHASH_BAND = 2  # rows per band -> 6 bands
-SIMHASH_BITS = 32
+# 48 bits (not 64): stays positive in a signed BIGINT on both engines, and
+# 4x12-bit LSH bands keep candidate sets selective on same-vocabulary
+# corpora where narrow bands collide massively
+SIMHASH_BITS = 48
 
 
 def dedup_exact(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -100,6 +103,14 @@ def ngram_jaccard_pairs(
     return out
 
 
+# Kirsch-Mitzenmacher double hashing: minhash_j = (h1 + j*h2) mod 2^60 from
+# two base hashes — 2 md5 evaluations per shingle instead of k, and the
+# arithmetic stays overflow-free in a signed BIGINT on both engines
+# (h2 is reduced mod 2^56 so j*h2 + h1 < 2^61).
+MH_H2_MOD = 1 << 56
+MH_MOD = 1 << 60
+
+
 def minhash_signatures(
     docs: DataFrame,
     k: int = MINHASH_K,
@@ -107,16 +118,18 @@ def minhash_signatures(
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
-    """(doc, sig_idx, minhash): k seeded min-hashes of the shingle set.
+    """(doc, sig_idx, minhash): k derived min-hashes of the shingle set.
 
     Computed as ONE aggregation: explode shingles, build the k-vector of
-    seeded hashes per shingle JVM-side, elementwise-min across the group
-    (zip_with inside a reduce-style agg) — no per-seed pass over the data.
+    double-hashed values per shingle JVM-side, per-element min across the
+    group — no per-seed pass over the data.
     """
     sh = docs.select(
         F.col(id_col).alias("doc"), F.explode(shingles(text_col, shingle_k)).alias("sh")
     )
-    vec = F.array(*[h60("sh", seed=f"mh{j}") for j in range(k)])
+    h1 = h60("sh")
+    h2 = h60("sh", seed="mh2") % MH_H2_MOD
+    vec = F.array(*[(h1 + F.lit(j) * h2) % MH_MOD for j in range(k)])
     per_doc = (
         sh.select("doc", vec.alias("hv"))
         .groupBy("doc")
@@ -168,10 +181,11 @@ def minhash_lsh_pairs(
     )
     ss = _shingle_sets(docs, id_col, text_col, shingle_k)
     sizes = ss.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
+    # equi-join on (doc, sh_h) so the intersection materializes only the
+    # matching shingles, never the |A| x |B| cross product per pair
     inter = (
-        cand.join(ss.withColumnRenamed("doc", "a").withColumnRenamed("sh_h", "hl"), "a")
-        .join(ss.withColumnRenamed("doc", "b").withColumnRenamed("sh_h", "hr"), "b")
-        .filter(F.col("hl") == F.col("hr"))
+        cand.join(ss.toDF("a", "sh_h"), "a")
+        .join(ss.toDF("b", "sh_h"), ["b", "sh_h"])
         .groupBy("a", "b")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
@@ -190,25 +204,44 @@ def minhash_lsh_pairs(
 def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """(doc_id, simhash): bit-majority fingerprint over token hashes.
 
-    One explode + one groupBy: per token the 32-bit hash contributes +1/-1
-    per bit position; fingerprint bit b set iff the signed sum > 0.
+    Tokenize + hash JVM-side (one explode, one narrow groupBy collecting
+    token hashes), then a vectorized integer kernel computes per-bit
+    signed sums and the fingerprint. Integer math is order-free, so the
+    result is independent of partitioning AND bit-identical to the SQL
+    oracle's per-bit sum(CASE) formulation — without asking codegen to
+    compile a 48-column aggregate.
     """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import LongType, StructField, StructType
+
     toks = docs.select(
         F.col(id_col).alias("doc"), F.explode(ws_tokens(text_col)).alias("tok")
-    ).select("doc", h60("tok").alias("th"))
-    bit_sums = toks.groupBy("doc").agg(
-        *[
-            F.sum(
-                F.when(F.shiftright(F.col("th"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-            ).alias(f"s{b}")
-            for b in range(SIMHASH_BITS)
-        ]
+    ).select(F.col("doc").cast("long"), h60("tok").alias("th"))
+    grouped = toks.groupBy("doc").agg(F.collect_list("th").alias("ths"))
+
+    schema = StructType(
+        [StructField(id_col, LongType()), StructField("simhash", LongType())]
     )
-    fp = None
-    for b in range(SIMHASH_BITS):
-        term = F.when(F.col(f"s{b}") > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
-        fp = term if fp is None else fp + term
-    return bit_sums.select(F.col("doc").alias(id_col), fp.alias("simhash"))
+    nbits = SIMHASH_BITS
+
+    def kernel(batches):
+        shifts = np.arange(nbits, dtype=np.int64)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            arrs = pdf["ths"].to_numpy()
+            lens = np.fromiter((len(a) for a in arrs), dtype=np.int64, count=len(arrs))
+            flat = np.concatenate(arrs).astype(np.int64)
+            # (+1/-1) per bit, summed per doc: 2*popcount_sum - n
+            bits = ((flat[:, None] >> shifts[None, :]) & 1).astype(np.int64)
+            starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+            ones = np.add.reduceat(bits, starts, axis=0)
+            signed = 2 * ones - lens[:, None]
+            fp = ((signed > 0).astype(np.int64) << shifts[None, :]).sum(axis=1)
+            yield pd.DataFrame({id_col: pdf["doc"].to_numpy(np.int64), "simhash": fp})
+
+    return grouped.mapInPandas(kernel, schema=schema)
 
 
 def simhash_pairs(
@@ -219,8 +252,8 @@ def simhash_pairs(
 ) -> DataFrame:
     """Near-dup pairs by simhash hamming distance <= max_hamming.
 
-    Candidates via 4-band LSH on the fingerprint (8-bit bands): any pair
-    within hamming 3 of a 32-bit fingerprint shares at least one exact
+    Candidates via 4-band LSH on the fingerprint (12-bit bands): any pair
+    within hamming 3 of a 48-bit fingerprint shares at least one exact
     band (pigeonhole), so banding is lossless for max_hamming <= 3.
     """
     fps = simhash(docs, id_col, text_col)

@@ -1,23 +1,31 @@
 """Window packing: per-(conv_id, tier, window) compressed series blobs.
 
-The msr_pack analogue (/root/reference/libmseed/pack.c:70-395), Spark-first:
+The msr_pack analogue (/root/reference/libmseed/pack.c:70-395), Spark-first.
+Two physically different plans, bit-identical outputs (tests assert):
 
-  stage 1 (partial): group by (conv_id, window, chunk_id) — chunk_id is a
-      pure function of turn_idx (operators/skew.py), so hot windows split
-      deterministically across executors — sort each group JVM-side
-      (sort_array on a struct), then run the vectorized codec kernel over
-      the WHOLE Arrow batch at once via mapInPandas (one numpy pass for
-      thousands of chunks, no per-group Python).
-  stage 2 (final): group chunks by (conv_id, window), concatenate in
-      chunk order into a self-delimiting blob + crc32. Cheap byte work.
+  default (flat path, one shuffle):
+      repartition on (conv_id, window_start_us) -> sortWithinPartitions on
+      the stable turn order -> ONE mapInPandas pass over flat primitive
+      Arrow columns (int64/float64 — no struct lists, no collect_list, no
+      interpreted higher-order functions). The kernel carries incomplete
+      window groups across Arrow batches, detects window/chunk boundaries
+      vectorially, runs the numpy codec once per batch, and assembles
+      final blobs in the same pass.
 
-This partial/final split mirrors Spark's own two-phase aggregation and the
-reference's record loop + StreamState, except windows are self-delimiting
-(each chunk re-anchors at its own X0) so there is NO cross-window or
-cross-chunk state — the property that makes packing embarrassingly parallel
-and resume-safe (SURVEY.md §7 phase 2 decision). Continuity of Xn -> next
-X0 is verified *after the fact* by verify_continuity() instead of being a
-sequential dependence at pack time (StreamState, libmseed.h:458-465).
+  salted=True (skew path, two shuffles):
+      group by (conv_id, window, chunk_id) — chunk_id is a pure function
+      of turn_idx (operators/skew.py), so a pathologically hot window
+      splits deterministically across executors — encode chunks, then a
+      second grouping assembles blobs. Use when single windows exceed
+      executor memory; payload bytes are IDENTICAL to the flat path
+      because chunk boundaries depend only on turn_idx values.
+
+Windows are self-delimiting (each chunk re-anchors at its own X0) so there
+is NO cross-window or cross-chunk state — the property that makes packing
+embarrassingly parallel and resume-safe (SURVEY.md §7 phase 2 decision).
+Continuity of Xn -> next X0 is verified after the fact by
+verify_continuity() instead of being a sequential dependence at pack time
+(StreamState, libmseed.h:458-465).
 """
 
 from __future__ import annotations
@@ -79,6 +87,134 @@ PACKED_SCHEMA = StructType(
     ]
 )
 
+_HEAD_FMT = "<BBIQ"
+
+
+def _field(name: str):
+    # one-arg closure: F.transform dispatches on lambda arity, so a
+    # `lambda x, s=s:` default-arg capture would receive the array index
+    return lambda x: x[name]
+
+
+# ----------------------------------------------------------------------
+# flat path (default)
+# ----------------------------------------------------------------------
+
+def _assemble_block(conv, ws, turn_idx, ts, stream_cols):
+    """Encode + assemble one contiguous, sorted block of rows.
+
+    Returns a dict of output columns (one element per window).
+    """
+    n = len(ts)
+    # window boundaries: change of (conv, ws)
+    new_win = np.ones(n, dtype=bool)
+    if n > 1:
+        new_win[1:] = (conv[1:] != conv[:-1]) | (ws[1:] != ws[:-1])
+    # chunk boundaries: window change OR turn_idx//CHUNK_POINTS change
+    cp = turn_idx // CHUNK_POINTS
+    new_chunk = new_win.copy()
+    if n > 1:
+        new_chunk[1:] |= cp[1:] != cp[:-1]
+    chunk_starts = np.flatnonzero(new_chunk)
+    offsets = np.concatenate([chunk_starts, [n]]).astype(np.int64)
+    chunk_bytes, stats = encode_chunks_vec(ts, offsets, stream_cols)
+
+    win_starts = np.flatnonzero(new_win)  # indices into rows
+    # map chunks -> windows: which chunk index starts each window
+    win_chunk_start = np.searchsorted(chunk_starts, win_starts)
+    win_chunk_end = np.concatenate([win_chunk_start[1:], [len(chunk_starts)]])
+    n_chunks = (win_chunk_end - win_chunk_start).astype(np.int32)
+    win_row_end = np.concatenate([win_starts[1:], [n]])
+    n_points = (win_row_end - win_starts).astype(np.int64)
+
+    payloads, crcs = [], []
+    for i in range(len(win_starts)):
+        c0, c1 = win_chunk_start[i], win_chunk_end[i]
+        blob = MAGIC + _struct.pack(
+            _HEAD_FMT, VERSION, len(stream_cols), c1 - c0, int(n_points[i])
+        )
+        blob += b"".join(chunk_bytes[c0:c1])
+        payloads.append(blob)
+        crcs.append(zlib.crc32(blob))
+    last_chunk = win_chunk_end - 1
+    return {
+        "conv_id": conv[win_starts],
+        "window_start_us": ws[win_starts],
+        "n_points": n_points,
+        "n_chunks": n_chunks,
+        "first_ts_us": stats["first_ts"][win_chunk_start].astype(np.int64),
+        "last_ts_us": stats["last_ts"][last_chunk].astype(np.int64),
+        "x0": stats["x0"][win_chunk_start].view(np.int64),
+        "xn": stats["xn"][last_chunk].view(np.int64),
+        "payload": payloads,
+        "crc32": np.array(crcs, dtype=np.int64),
+    }
+
+
+def _pack_flat_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """One pass over a partition's sorted flat rows; incomplete trailing
+    window groups are carried into the next Arrow batch."""
+    carry: pd.DataFrame | None = None
+
+    def split_complete(pdf: pd.DataFrame):
+        conv = pdf["conv_id"].to_numpy()
+        ws = pdf["window_start_us"].to_numpy()
+        change = np.flatnonzero((conv[1:] != conv[:-1]) | (ws[1:] != ws[:-1]))
+        # start index of the final (possibly incomplete) group
+        start = int(change[-1]) + 1 if len(change) else 0
+        return pdf.iloc[:start], pdf.iloc[start:]
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        cols = _assemble_block(
+            pdf["conv_id"].to_numpy(),
+            pdf["window_start_us"].to_numpy(np.int64),
+            pdf["turn_idx"].to_numpy(np.int64),
+            pdf["ts_us"].to_numpy(np.int64),
+            [pdf[s].to_numpy(np.float64).view(np.uint64) for s in STREAMS],
+        )
+        return pd.DataFrame(cols)
+
+    for pdf in batches:
+        if len(pdf) == 0:
+            continue
+        if carry is not None:
+            pdf = pd.concat([carry, pdf], ignore_index=True)
+        done, carry = split_complete(pdf)
+        if len(done):
+            yield run(done)
+    if carry is not None and len(carry):
+        yield run(carry)
+
+
+def pack_tier(
+    metrics: DataFrame,
+    tier: str,
+    salted: bool = False,
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """metrics (derive_turn_metrics output) -> packed window blobs."""
+    if salted:
+        return _pack_tier_salted(metrics, tier)
+    flat = metrics.select(
+        "conv_id",
+        window_start_col(F.col("ts_us"), tier).alias("window_start_us"),
+        F.col("turn_idx").cast("long").alias("turn_idx"),
+        "ts_us",
+        *[F.col(s).cast("double").alias(s) for s in STREAMS],
+    )
+    keys = ["conv_id", "window_start_us"]
+    flat = (
+        flat.repartition(n_partitions, *keys) if n_partitions else flat.repartition(*keys)
+    )
+    packed = flat.sortWithinPartitions(
+        *keys, "turn_idx", "ts_us", *STREAMS
+    ).mapInPandas(_pack_flat_partition, schema=PACKED_SCHEMA)
+    return packed.withColumn("tier", F.lit(tier))
+
+
+# ----------------------------------------------------------------------
+# salted path (explicit skew splitting for pathologically hot windows)
+# ----------------------------------------------------------------------
 
 def _encode_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     for pdf in batches:
@@ -110,7 +246,6 @@ def _encode_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]
 
 def _assemble_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     n_streams = len(STREAMS)
-    head_fmt = "<BBIQ"
     for pdf in batches:
         if len(pdf) == 0:
             continue
@@ -119,7 +254,7 @@ def _assemble_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFram
         for chunks in pdf["chunks"].to_numpy():
             # chunks: list of dicts sorted by chunk_id (sort_array upstream)
             total = int(sum(c["n_points"] for c in chunks))
-            blob = MAGIC + _struct.pack(head_fmt, VERSION, n_streams, len(chunks), total)
+            blob = MAGIC + _struct.pack(_HEAD_FMT, VERSION, n_streams, len(chunks), total)
             blob += b"".join(bytes(c["chunk"]) for c in chunks)
             payloads.append(blob)
             crcs.append(zlib.crc32(blob))
@@ -142,14 +277,7 @@ def _assemble_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFram
         )
 
 
-def _field(name: str):
-    # one-arg closure: F.transform dispatches on lambda arity, so a
-    # `lambda x, s=s:` default-arg capture would receive the array index
-    return lambda x: x[name]
-
-
-def pack_tier(metrics: DataFrame, tier: str) -> DataFrame:
-    """metrics (derive_turn_metrics output) -> packed window blobs."""
+def _pack_tier_salted(metrics: DataFrame, tier: str) -> DataFrame:
     pts = F.sort_array(
         F.collect_list(
             F.struct(
@@ -195,6 +323,10 @@ def pack_tier(metrics: DataFrame, tier: str) -> DataFrame:
     )
     return assembled
 
+
+# ----------------------------------------------------------------------
+# unpack + audits
+# ----------------------------------------------------------------------
 
 _POINT_SCHEMA = StructType(
     [

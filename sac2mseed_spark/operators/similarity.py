@@ -3,26 +3,39 @@
 Two paths:
 
   * knn_bruteforce — exact top-k cosine: broadcast the (small) query set
-    against the corpus, dot products via zip_with/aggregate (JVM-side
-    HigherOrderFunctions, no Python), rank per query with one window.
-    At 100 TB this is the per-query-batch baseline: corpus scan x |Q|,
-    embarrassingly parallel, zero corpus shuffle.
+    against the corpus, score pairs in an Arrow-batched numpy kernel, rank
+    per query with one window. At 100 TB this is the per-query-batch
+    baseline: corpus scan x |Q|, embarrassingly parallel, zero corpus
+    shuffle.
 
   * knn_lsh — random-hyperplane LSH: ±1 hyperplanes derived from the shared
     60-bit hash (deterministic, oracle-reproducible), signature = sign
-    bits, candidates = bucket-equality join on signature prefix bands,
-    then exact cosine only on candidates. The scale path: corpus is
-    bucketed once (one shuffle), each query probes its own buckets.
+    bits, candidates = bucket-equality join on signature bands, then exact
+    cosine only on candidates. The scale path: corpus is bucketed once,
+    each query probes its own buckets.
 
-Cosine is computed in float64 with a fixed left-to-right fold so Spark and
-the DuckDB oracle produce bit-identical doubles (verified: sequential
-list_dot_product == F.aggregate fold).
+Bit-determinism contract (DuckDB oracle parity): every float reduction is
+a *sequential left-to-right fold over dimensions* — the numpy kernels
+accumulate with an explicit per-dimension loop (vectorized across rows),
+which reproduces `list_dot_product` / `F.aggregate` folds bit-for-bit.
+Rounding happens JVM-side (F.round, same as the oracle's round()).
 """
 
 from __future__ import annotations
 
+import hashlib
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+)
 
 N_PLANES = 16
 PLANE_BANDS = 4  # 4 bands x 4 bits
@@ -34,6 +47,7 @@ def _dvec(col) -> Column:
 
 
 def dot(a, b) -> Column:
+    """Expression-level sequential dot product (kept for composability)."""
     return F.aggregate(
         F.zip_with(_dvec(a), _dvec(b), lambda x, y: x * y),
         F.lit(0.0),
@@ -42,13 +56,54 @@ def dot(a, b) -> Column:
 
 
 def norm(a) -> Column:
-    return F.sqrt(
-        F.aggregate(_dvec(a), F.lit(0.0), lambda acc, x: acc + x * x)
-    )
+    return F.sqrt(F.aggregate(_dvec(a), F.lit(0.0), lambda acc, x: acc + x * x))
 
 
 def cosine(a, b) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
+
+
+_PAIR_SCHEMA = StructType(
+    [
+        StructField("query_id", LongType()),
+        StructField("neighbor_id", LongType()),
+        StructField("sim", DoubleType()),
+    ]
+)
+
+
+def _seq_dot(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Row-wise dot with a sequential fold over dimensions (bit-exact to
+    the SQL `list_dot_product`), vectorized across rows."""
+    acc = np.zeros(len(a), dtype=np.float64)
+    for d in range(a.shape[1]):
+        acc += a[:, d] * b[:, d]
+    return acc
+
+
+def _cosine_pairs_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        if not len(pdf):
+            continue
+        q = np.stack(pdf["qv"].to_numpy()).astype(np.float64)
+        c = np.stack(pdf["cv"].to_numpy()).astype(np.float64)
+        sim = _seq_dot(q, c) / (np.sqrt(_seq_dot(q, q)) * np.sqrt(_seq_dot(c, c)))
+        yield pd.DataFrame(
+            {
+                "query_id": pdf["query_id"].to_numpy(np.int64),
+                "neighbor_id": pdf["neighbor_id"].to_numpy(np.int64),
+                "sim": sim,
+            }
+        )
+
+
+def _rank_topk(scored: DataFrame, k: int) -> DataFrame:
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.col("rank").cast("int").alias("rank"), "sim")
+    )
 
 
 def knn_bruteforce(
@@ -60,70 +115,76 @@ def knn_bruteforce(
 ) -> DataFrame:
     """Exact top-k cosine neighbors for each query vector.
 
-    Output: (query_id, neighbor_id, rank, sim) with sim rounded to 6 dp and
-    deterministic tie-break on neighbor_id. Queries are broadcast — the
-    corpus never shuffles; the only exchange is the per-query top-k
-    aggregation, whose input is already reduced map-side by the window
-    rank... in practice we use a groupBy(min_by) free pattern: window rank
-    over (query) is fine because |Q| x |corpus| rows collapse immediately.
+    Output: (query_id, neighbor_id, rank, sim) — sim rounded to 6 dp
+    (JVM-side) with deterministic tie-break on neighbor_id. Queries are
+    broadcast; the corpus never shuffles before scoring.
     """
-    q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
-    )
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
     c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
-    scored = (
-        c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("sim", F.round(cosine("qv", "cv"), 6))
-        .select("query_id", "neighbor_id", "sim")
+    pairs = c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+    scored = pairs.select("query_id", "neighbor_id", "qv", "cv").mapInPandas(
+        _cosine_pairs_kernel, schema=_PAIR_SCHEMA
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", F.col("rank").cast("int").alias("rank"), "sim")
-    )
+    return _rank_topk(scored.withColumn("sim", F.round("sim", 6)), k)
 
 
-def hyperplane_signature(vec_col, n_planes: int = N_PLANES) -> Column:
-    """Deterministic random-hyperplane signature (int, bit per plane).
-
-    Plane p's weight for dimension d is +1 if the shared 60-bit hash of
-    "p:d" is even else -1 — reproducible in ANSI SQL, no RNG state. The
-    projection is a fixed-order fold over dimensions (bit-stable).
-    """
-    v = _dvec(vec_col)
-    bits = []
+def _plane_matrix(dims: int, n_planes: int = N_PLANES) -> np.ndarray:
+    """±1 hyperplane weights; weight(p, d) = +1 iff the shared 60-bit hash
+    of 'pl{p}:{d}' is even (reproducible in ANSI SQL, no RNG state)."""
+    w = np.empty((dims, n_planes), dtype=np.float64)
     for p in range(n_planes):
-        # weight(d) = 1 - 2*(h60('p:d') & 1)  — but h60 of a column index
-        # needs the index; use zip_with against the dim-index sequence.
-        proj = F.aggregate(
-            F.zip_with(
-                v,
-                F.sequence(F.lit(0), F.size(v) - 1),
-                lambda x, i: x
-                * (
-                    F.lit(1.0)
-                    - 2.0
-                    * (
-                        F.conv(
-                            F.substring(
-                                F.md5(F.concat(F.lit(f"pl{p}:"), i.cast("string"))), 1, 15
-                            ),
-                            16,
-                            10,
-                        ).cast("long")
-                        % 2
-                    ).cast("double")
-                ),
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        bits.append(F.when(proj > 0, F.lit(1 << p).cast("long")).otherwise(F.lit(0).cast("long")))
-    sig = bits[0]
-    for b in bits[1:]:
-        sig = sig + b
-    return sig
+        for d in range(dims):
+            h = int(hashlib.md5(f"pl{p}:{d}".encode()).hexdigest()[:15], 16)
+            w[d, p] = 1.0 if h % 2 == 0 else -1.0
+    return w
+
+
+def _signature_kernel(n_planes: int, vec_type):
+    out_schema = StructType(
+        [
+            StructField("id", LongType()),
+            StructField("v", vec_type),
+            StructField("sig", LongType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        W = None
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            v = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+            if W is None:
+                W = _plane_matrix(v.shape[1], n_planes)
+            # sequential fold over dims (matches list_dot_product order),
+            # vectorized across rows AND planes
+            acc = np.zeros((len(v), n_planes), dtype=np.float64)
+            for d in range(v.shape[1]):
+                acc += v[:, d, None] * W[None, d, :]
+            bits = (acc > 0).astype(np.int64)
+            sig = (bits << np.arange(n_planes, dtype=np.int64)[None, :]).sum(axis=1)
+            yield pd.DataFrame(
+                {"id": pdf["id"].to_numpy(np.int64), "v": pdf["v"], "sig": sig}
+            )
+
+    return run, out_schema
+
+
+def hyperplane_signatures(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = N_PLANES,
+) -> DataFrame:
+    """(id, v, sig): deterministic random-hyperplane signature per vector.
+
+    The vector rides through the Arrow batch (lossless float pass-through)
+    so no self-join is needed to reunite signature and embedding."""
+    vec_type = df.schema[vec_col].dataType
+    run, schema = _signature_kernel(n_planes, vec_type)
+    return df.select(
+        F.col(id_col).cast("long").alias("id"), F.col(vec_col).alias("v")
+    ).mapInPandas(run, schema=schema)
 
 
 def knn_lsh(
@@ -138,34 +199,26 @@ def knn_lsh(
     """LSH-bucketed approximate top-k: candidates share at least one exact
     signature band with the query; exact cosine re-ranks candidates."""
     bw = n_planes // bands
-    sig = hyperplane_signature(vec_col, n_planes)
 
     def banded(df: DataFrame, id_alias: str, vec_alias: str) -> DataFrame:
-        return (
-            df.select(
-                F.col(id_col).alias(id_alias),
-                F.col(vec_col).alias(vec_alias),
-                sig.alias("sig"),
-            )
-            .select(
-                id_alias,
-                vec_alias,
-                F.explode(
-                    F.array(
-                        *[
-                            F.struct(
-                                F.lit(i).alias("band"),
-                                F.shiftright(F.col("sig"), i * bw)
-                                .bitwiseAND(F.lit((1 << bw) - 1))
-                                .alias("key"),
-                            )
-                            for i in range(bands)
-                        ]
-                    )
-                ).alias("bk"),
-            )
-            .select(id_alias, vec_alias, "bk.band", "bk.key")
-        )
+        withv = hyperplane_signatures(df, id_col, vec_col, n_planes)
+        return withv.select(
+            F.col("id").alias(id_alias),
+            F.col("v").alias(vec_alias),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(i).alias("band"),
+                            F.shiftright(F.col("sig"), i * bw)
+                            .bitwiseAND(F.lit((1 << bw) - 1))
+                            .alias("key"),
+                        )
+                        for i in range(bands)
+                    ]
+                )
+            ).alias("bk"),
+        ).select(id_alias, vec_alias, "bk.band", "bk.key")
 
     cb = banded(corpus, "neighbor_id", "cv")
     qb = banded(queries, "query_id", "qv")
@@ -175,12 +228,5 @@ def knn_lsh(
         .select("query_id", "qv", "neighbor_id", "cv")
         .distinct()
     )
-    scored = cand.withColumn("sim", F.round(cosine("qv", "cv"), 6)).select(
-        "query_id", "neighbor_id", "sim"
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", F.col("rank").cast("int").alias("rank"), "sim")
-    )
+    scored = cand.mapInPandas(_cosine_pairs_kernel, schema=_PAIR_SCHEMA)
+    return _rank_topk(scored.withColumn("sim", F.round("sim", 6)), k)

@@ -42,6 +42,17 @@ def get_spark(
     ``master`` defaults to ``local[$SPARK_GRAFT_CPUS or *]`` in the sandbox;
     on a cluster the caller passes none and spark-submit decides.
     """
+    # Python workers must import this package regardless of caller cwd; in
+    # local mode they inherit the driver process env, so export PYTHONPATH
+    # before the JVM starts. (Cluster deployments ship the package with
+    # spark-submit --py-files instead.)
+    pkg_parent = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    existing = os.environ.get("PYTHONPATH", "")
+    if pkg_parent not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            f"{pkg_parent}{os.pathsep}{existing}" if existing else pkg_parent
+        )
+
     builder = SparkSession.builder.appName(app_name)
     if master is None:
         cpus = os.environ.get("SPARK_GRAFT_CPUS")

@@ -60,6 +60,9 @@ FIXTURES: dict[str, TranscriptSpec] = {
     # bench scale: ~1.7M turns, 5 hot conversations (Zipf head) to exercise
     # the skew path; all closed-form, generated in-flight (no disk)
     "t_bench": TranscriptSpec(3000, 200, 800, n_hot=5, hot_turns=50_000),
+    # scaling-efficiency runs: large enough that per-stage fixed overheads
+    # (~100ms) vanish against compute at local[8]
+    "t_scale": TranscriptSpec(25_000, 300, 800, n_hot=20, hot_turns=50_000),
 }
 
 # Max turns materialized from a single generator input row.  Hot

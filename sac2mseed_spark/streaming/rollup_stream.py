@@ -1,0 +1,128 @@
+"""Structured Streaming tier maintenance.
+
+The reference's pipeline is genuinely streaming under the hood: records
+arrive, merge into per-key state, and flush as complete records
+(StreamState, /root/reference/libmseed/libmseed.h:458-465; flush semantics
+pack.c:337). Spark mapping (SURVEY.md §2.9):
+
+  * tumbling fixed-epoch windows  <- fixed-reclen records
+  * watermark + append output     <- flush of completed records
+  * late/out-of-order rows        <- mstl_addmsr insertion / heal
+    (handled by the watermark: rows later than the allowed lateness are
+    dropped from the stream path and belong to the batch backfill)
+
+The streaming aggregate produces the SAME integer-domain tier columns as
+operators/rollup.rollup_from_turns, so a streaming-maintained 1m tier can
+be cascaded to 1h/1d by the batch operators (continuous-aggregate
+maintenance) and is bit-compatible with a batch recompute.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .. import TIERS
+
+_TIER_INTERVAL = {"1m": "1 minute", "1h": "1 hour", "1d": "1 day"}
+
+
+def stream_turn_metrics(transcripts: DataFrame) -> DataFrame:
+    """Per-turn metric derivation for a streaming transcripts source.
+
+    Streams cannot use unbounded window functions (lag over conv_id), so
+    latency is carried by the packer/rollup at read time; the streaming
+    path derives the stateless metrics (token_count, text_len, ts_us) and
+    leaves latency to the batch backfill — mirroring how the reference
+    computes inter-record gaps only when a trace is assembled, not on
+    ingest (traceutils.c:300-334).
+    """
+    from ..functions.metrics import token_count_col, ts_us_col
+
+    return (
+        transcripts.withColumn("ts_us", ts_us_col("ts"))
+        .withColumn("token_count", token_count_col().cast("long"))
+        .withColumn("text_len", F.length("text").cast("long"))
+    )
+
+
+def stream_rollup(
+    metrics: DataFrame, tier: str, watermark: str = "10 minutes"
+) -> DataFrame:
+    """Streaming tier aggregate: tumbling window per conv_id with watermark.
+
+    Output (append mode) rows are FINAL per window — the watermark is the
+    flush: once event time passes window end + lateness, the window emits
+    exactly once, like the reference emitting a record when it reaches
+    capacity (pack.c:314-337).
+    """
+    interval = _TIER_INTERVAL[tier]
+    ts = F.col("ts").cast("timestamp")
+    return (
+        metrics.withColumn("ts", ts)
+        .withWatermark("ts", watermark)
+        .groupBy("conv_id", F.window("ts", interval).alias("win"))
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.sum("token_count").alias("sum_tokens"),
+            F.min("ts_us").alias("min_ts_us"),
+            F.max("ts_us").alias("max_ts_us"),
+        )
+        .select(
+            "conv_id",
+            F.unix_micros(F.col("win.start")).alias("window_start_us"),
+            "n_points",
+            "sum_tokens",
+            "min_ts_us",
+            "max_ts_us",
+            F.lit(tier).alias("tier"),
+        )
+    )
+
+
+def stream_sessionize(
+    metrics: DataFrame, gap_us: int | None = None, watermark: str = "30 minutes"
+) -> DataFrame:
+    """Streaming session windows per conv_id (session_window built-in) —
+    the streaming analogue of operators/sessionize (tolerance-gap segment
+    formation, tracelist.c:135-606)."""
+    from ..operators.sessionize import DEFAULT_GAP_TOLERANCE_US
+
+    gap_us = gap_us or DEFAULT_GAP_TOLERANCE_US
+    gap_expr = f"{gap_us // 1_000_000} seconds"
+    ts = F.col("ts").cast("timestamp")
+    return (
+        metrics.withColumn("ts", ts)
+        .withWatermark("ts", watermark)
+        .groupBy("conv_id", F.session_window("ts", gap_expr).alias("sw"))
+        .agg(
+            F.count(F.lit(1)).alias("n_turns"),
+            F.sum("token_count").alias("sum_tokens"),
+            F.min("ts_us").alias("seg_start_us"),
+            F.max("ts_us").alias("seg_end_us"),
+        )
+        .select(
+            "conv_id", "seg_start_us", "seg_end_us", "n_turns", "sum_tokens"
+        )
+    )
+
+
+def tier_sink(
+    tier_stream: DataFrame,
+    path: str,
+    checkpoint: str,
+    trigger_available_now: bool = True,
+):
+    """Append-mode parquet sink with a checkpoint (exactly-once per window
+    given the watermark finalization; the checkpoint directory is the
+    resume token, the readStream offset log the fpos analogue —
+    fileutils.c:367-384)."""
+    w = (
+        tier_stream.writeStream.format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if trigger_available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()

@@ -1,0 +1,102 @@
+"""Incremental snapshot pipeline: resume, idempotence, state carry, lineage.
+
+Mirrors the reference's resumable scan position (fpos, fileutils.c:367-384)
+and cross-record StreamState (libmseed.h:458-465) at snapshot granularity.
+"""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from sac2mseed_spark.functions.metrics import derive_turn_metrics
+from sac2mseed_spark.operators.rollup import rollup_from_turns
+from sac2mseed_spark.plans.pipeline import IncrementalRollup, list_snapshots
+from sac2mseed_spark.sources.transcripts import generate_transcripts
+
+
+@pytest.fixture(scope="module")
+def snapshots(spark, tmp_path_factory):
+    """Split t_small into 3 append-ordered snapshots by turn ranges."""
+    base = tmp_path_factory.mktemp("snaps")
+    t = generate_transcripts(spark, "t_small", seed=42)
+    bounds = [(0, 20), (20, 60), (60, 10_000)]
+    for i, (lo, hi) in enumerate(bounds, start=1):
+        part = t.filter((F.col("turn_idx") >= lo) & (F.col("turn_idx") < hi))
+        part.write.mode("overwrite").parquet(str(base / f"snap_{i:08d}"))
+    return str(base), t
+
+
+def _tiers_as_dict(df):
+    return {
+        (r["conv_id"], r["window_start_us"], r["tier"]): (
+            r["n_points"], r["n_latency"], r["sum_latency_us"],
+            r["min_latency_us"], r["max_latency_us"], r["sum_tokens"],
+            r["min_ts_us"], r["max_ts_us"],
+        )
+        for r in df.collect()
+    }
+
+
+def test_incremental_equals_full_recompute(spark, snapshots, tmp_path):
+    src, full_t = snapshots
+    inc = IncrementalRollup(spark, src, str(tmp_path / "work"))
+    n = inc.process_pending()
+    assert n == 3
+    full_m = derive_turn_metrics(full_t)
+    for tier in ("1m", "1h", "1d"):
+        got = _tiers_as_dict(inc.tier(tier))
+        want = _tiers_as_dict(rollup_from_turns(full_m, tier))
+        assert got == want, f"tier {tier} diverges from batch recompute"
+
+
+def test_resume_after_partial_failure(spark, snapshots, tmp_path):
+    """Kill between tier write and checkpoint commit -> rerun must not
+    double-count (orphan version is overwritten)."""
+    src, full_t = snapshots
+    work = str(tmp_path / "work2")
+    inc = IncrementalRollup(spark, src, work)
+
+    state = inc._read_ckpt()
+    snaps = list_snapshots(src)
+    # process snapshot 1 fully
+    inc._process_one(state, *snaps[0])
+    state["version"] = snaps[0][0]
+    inc._commit_ckpt(state)
+    # process snapshot 2 but CRASH before the checkpoint commit
+    inc._process_one(state, *snaps[1])
+    # resume: snapshot 2 reprocessed (overwrite), snapshot 3 processed
+    assert inc.process_pending() == 2
+    full_m = derive_turn_metrics(full_t)
+    got = _tiers_as_dict(inc.tier("1h"))
+    want = _tiers_as_dict(rollup_from_turns(full_m, "1h"))
+    assert got == want
+
+
+def test_noop_when_caught_up(spark, snapshots, tmp_path):
+    src, _ = snapshots
+    work = str(tmp_path / "work3")
+    inc = IncrementalRollup(spark, src, work)
+    assert inc.process_pending() == 3
+    assert inc.process_pending() == 0
+
+
+def test_metrics_lineage(spark, snapshots, tmp_path):
+    src, full_t = snapshots
+    work = str(tmp_path / "work4")
+    inc = IncrementalRollup(spark, src, work)
+    inc.process_pending()
+    mt = inc.metrics_table()
+    rows = mt.collect()
+    # 3 snapshots x 3 tiers
+    assert len(rows) == 9
+    assert all(r["lineage"] for r in rows)
+    assert {r["snapshot_id"] for r in rows} == {1, 2, 3}
+    # final cumulative n_points per tier == total turns
+    n_turns = full_t.count()
+    last = {r["tier"]: r["n_points"] for r in rows if r["snapshot_id"] == 3}
+    assert set(last.values()) == {n_turns}
+    # checkpoint file records version 3
+    with open(os.path.join(work, "_checkpoint.json")) as f:
+        assert json.load(f)["version"] == 3

@@ -87,6 +87,47 @@ def test_out_of_order_input_same_bytes(spark):
     assert pa == pb
 
 
+def test_salted_path_same_bytes(spark):
+    """The skew-split (salted) two-stage plan and the flat one-shuffle plan
+    must produce byte-identical blobs — chunk boundaries depend only on
+    turn_idx values, never on physical partitioning."""
+    m = derive_turn_metrics(generate_transcripts(spark, "t_gaps", seed=42))
+    flat = {
+        (r["conv_id"], r["window_start_us"]): (bytes(r["payload"]), r["crc32"])
+        for r in pack_tier(m, "1h").collect()
+    }
+    salted = {
+        (r["conv_id"], r["window_start_us"]): (bytes(r["payload"]), r["crc32"])
+        for r in pack_tier(m, "1h", salted=True).collect()
+    }
+    assert flat == salted
+
+
+def test_chunk_split_across_windows(spark):
+    """Conversations long enough to cross the CHUNK_POINTS turn boundary
+    inside one window produce multi-chunk blobs that decode whole."""
+    from pyspark.sql import functions as F
+
+    from sac2mseed_spark.operators.skew import CHUNK_POINTS
+
+    n = CHUNK_POINTS + 500
+    df = spark.range(n).select(
+        F.lit("c0").alias("conv_id"),
+        F.col("id").cast("int").alias("turn_idx"),
+        (F.lit(1_700_000_000_000_000) + F.col("id") * 1000).alias("ts_us"),
+        (F.col("id") % 97).cast("long").alias("latency_us"),
+        (F.col("id") % 13).cast("long").alias("token_count"),
+    )
+    packed = pack_tier(df, "1d").collect()
+    assert len(packed) == 1
+    row = packed[0]
+    assert row["n_chunks"] == 2 and row["n_points"] == n
+    ts, streams = oracle.decode_blob(
+        bytes(row["payload"]), expect_xn=int(np.uint64(np.int64(row["xn"])))
+    )
+    assert len(ts) == n and ts == list(range(1_700_000_000_000_000, 1_700_000_000_000_000 + 1000 * n, 1000))
+
+
 def test_payload_decodes_with_oracle(spark, packed_1m):
     _, packed = packed_1m
     row = packed.orderBy("conv_id", "window_start_us").first()

@@ -1,0 +1,101 @@
+"""Structured Streaming tier maintenance: streaming 1m tier over a file
+source must equal the batch rollup's shared columns; session windows must
+equal batch sessionization. (Watermark flush semantics <-> pack.c:337.)"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from sac2mseed_spark.functions.metrics import derive_turn_metrics
+from sac2mseed_spark.operators.rollup import rollup_from_turns
+from sac2mseed_spark.operators.sessionize import segments
+from sac2mseed_spark.sources.transcripts import generate_transcripts
+from sac2mseed_spark.streaming.rollup_stream import (
+    stream_rollup,
+    stream_sessionize,
+    stream_turn_metrics,
+    tier_sink,
+)
+
+
+SENTINEL = "wm_sentinel"
+
+
+@pytest.fixture(scope="module")
+def stream_setup(spark, tmp_path_factory):
+    base = tmp_path_factory.mktemp("stream")
+    t = generate_transcripts(spark, "t_small", seed=42)
+    src = str(base / "in")
+    # two file "micro-batches"
+    t.filter(F.col("turn_idx") < 30).write.mode("overwrite").parquet(src)
+    t.filter(F.col("turn_idx") >= 30).write.mode("append").parquet(src)
+    # watermark pusher: one far-future row so every real window is flushed
+    # (append mode only emits windows the watermark has passed — the
+    # streaming analogue of the reference's explicit flush, pack.c:337)
+    far = t.agg(F.max("ts")).collect()[0][0]
+    sent = spark.createDataFrame(
+        [(SENTINEL, 0, "user", "x", None, far)],
+        schema=t.schema,
+    ).withColumn("ts", F.col("ts") + F.expr("INTERVAL 30 DAYS"))
+    sent.write.mode("append").parquet(src)
+    schema = t.schema
+    return base, t, src, schema
+
+
+def test_stream_rollup_matches_batch(spark, stream_setup):
+    base, t, src, schema = stream_setup
+    stream = spark.readStream.schema(schema).parquet(src)
+    tier = stream_rollup(stream_turn_metrics(stream), "1m")
+    out = str(base / "out_1m")
+    q = tier_sink(tier, out, str(base / "ckpt_1m"))
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(out).filter(F.col("conv_id") != SENTINEL).select(
+        "conv_id", "window_start_us", "n_points", "sum_tokens", "min_ts_us", "max_ts_us"
+    )
+    want = rollup_from_turns(derive_turn_metrics(t), "1m").select(
+        "conv_id", "window_start_us", "n_points", "sum_tokens", "min_ts_us", "max_ts_us"
+    )
+    g = {tuple(r) for r in got.collect()}
+    w = {tuple(r) for r in want.collect()}
+    assert g == w
+
+
+def test_stream_sessionize_matches_batch(spark, stream_setup):
+    base, t, src, schema = stream_setup
+    stream = spark.readStream.schema(schema).parquet(src)
+    segs = stream_sessionize(stream_turn_metrics(stream))
+    out = str(base / "out_sess")
+    q = tier_sink(segs, out, str(base / "ckpt_sess"))
+    q.awaitTermination(120)
+
+    got = {
+        tuple(r)
+        for r in spark.read.parquet(out).filter(F.col("conv_id") != SENTINEL)
+        .select("conv_id", "seg_start_us", "seg_end_us", "n_turns", "sum_tokens")
+        .collect()
+    }
+    want = {
+        tuple(r)
+        for r in segments(derive_turn_metrics(t))
+        .select("conv_id", "seg_start_us", "seg_end_us", "n_turns", "sum_tokens")
+        .collect()
+    }
+    assert got == want
+
+
+def test_stream_checkpoint_resume_no_duplicates(spark, stream_setup, tmp_path):
+    """Restarting from the same checkpoint with no new data emits nothing
+    new (offset log = fpos analogue)."""
+    base, t, src, schema = stream_setup
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    stream = spark.readStream.schema(schema).parquet(src)
+    tier = stream_rollup(stream_turn_metrics(stream), "1m")
+    tier_sink(tier, out, ckpt).awaitTermination(120)
+    n1 = spark.read.parquet(out).count()
+    # restart with the same checkpoint: availableNow sees no new files
+    stream2 = spark.readStream.schema(schema).parquet(src)
+    tier2 = stream_rollup(stream_turn_metrics(stream2), "1m")
+    tier_sink(tier2, out, ckpt).awaitTermination(120)
+    n2 = spark.read.parquet(out).count()
+    assert n1 == n2
