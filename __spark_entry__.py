@@ -252,6 +252,24 @@ def q_roundtrip_1m(spark, sf_dir):
     )
 
 
+def q_conv_summary(spark, sf_dir):
+    # trace-summary analogue (mst_printtracelist, traceutils.c:1301-1427)
+    m = _metrics(spark, sf_dir)
+    return m.groupBy("conv_id").agg(
+        F.count(F.lit(1)).alias("n_turns"),
+        F.min("ts_us").alias("first_ts_us"),
+        F.max("ts_us").alias("last_ts_us"),
+        F.sum("token_count").alias("sum_tokens"),
+        F.count(F.when(F.col("role") == "tool", 1)).alias("n_tool_turns"),
+    )
+
+
+def q_validation_report(spark, sf_dir):
+    from sac2mseed_spark.operators.validate import validation_report
+
+    return validation_report(transcripts_from_events(spark, sf_dir))
+
+
 def q_dedup_exact(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     return D.dedup_exact(_aug_docs(docs))
@@ -297,6 +315,11 @@ def q_knn_lsh(spark, sf_dir):
     return S.knn_lsh(emb, emb.filter(F.col("vec_id") % 50 == 0), k=5)
 
 
+def q_dedup_embedding(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.embedding_dup_pairs(emb, threshold=0.4)
+
+
 def q_multimodal_features(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     media = synth_media(docs)
@@ -323,6 +346,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "autoscale": q_autoscale,
         "pack_stats_1m": q_pack_stats_1m,
         "roundtrip_1m": q_roundtrip_1m,
+        "conv_summary": q_conv_summary,
+        "validation_report": q_validation_report,
         "dedup_exact": q_dedup_exact,
         "text_quality": q_text_quality,
         "doc_fingerprint": q_doc_fingerprint,
@@ -332,6 +357,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": q_simhash_pairs,
         "knn_bruteforce": q_knn_bruteforce,
         "knn_lsh": q_knn_lsh,
+        "dedup_embedding": q_dedup_embedding,
         "multimodal_features": q_multimodal_features,
     }
 
@@ -721,6 +747,40 @@ QUALIFY row_number() OVER w <= {k}
 """
 
 
+def _embedding_dup_sql(threshold: float) -> str:
+    n_planes, bands = S.N_PLANES, S.PLANE_BANDS
+    bw = n_planes // bands
+    sig_terms = " + ".join(
+        f"CASE WHEN list_dot_product(v, {_plane_literal(p)}) > 0 "
+        f"THEN CAST({1 << p} AS BIGINT) ELSE 0 END"
+        for p in range(n_planes)
+    )
+    band_rels = "\n  UNION ALL\n".join(
+        f"  SELECT id, v, {i} AS band, (sig >> {i * bw}) & {(1 << bw) - 1} AS key FROM sigs"
+        for i in range(bands)
+    )
+    return f"""
+WITH base AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+sigs AS (SELECT id, v, {sig_terms} AS sig FROM base),
+banded AS (
+{band_rels}
+),
+cand AS (
+  SELECT DISTINCT l.id AS a, l.v AS av, r.id AS b, r.v AS bv
+  FROM banded l JOIN banded r
+    ON l.band = r.band AND l.key = r.key AND l.id < r.id
+),
+s AS (
+  SELECT a, b,
+         round(list_dot_product(av, bv) /
+               (sqrt(list_dot_product(av, av)) * sqrt(list_dot_product(bv, bv))),
+               6) AS sim
+  FROM cand
+)
+SELECT a, b, sim FROM s WHERE sim >= {threshold}
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     lo, hi = 1_704_067_200_000_000, 1_704_240_000_000_000
     return {
@@ -748,6 +808,33 @@ WHERE conv_id LIKE 'conv_1%' AND ts_us BETWEEN {lo} AND {hi}""",
 SELECT conv_id, ts_us, CAST(latency_us AS DOUBLE) AS latency_us,
        CAST(token_count AS DOUBLE) AS token_count
 FROM m""",
+        "conv_summary": f"""{_ORACLE_PREFIX}
+SELECT conv_id, count(*) AS n_turns, min(ts_us) AS first_ts_us,
+       max(ts_us) AS last_ts_us, CAST(sum(token_count) AS BIGINT) AS sum_tokens,
+       count(CASE WHEN role = 'tool' THEN 1 END) AS n_tool_turns
+FROM m GROUP BY 1""",
+        "validation_report": f"""
+WITH transcripts AS ({TRANSCRIPTS_FROM_EVENTS_SQL}),
+v AS (
+  SELECT CASE WHEN conv_id IS NULL OR length(conv_id) = 0 THEN 'null_conv_id' END AS r1,
+         CASE WHEN ts IS NULL THEN 'null_ts' END AS r2,
+         CASE WHEN turn_idx < 0 THEN 'negative_turn_idx' END AS r3,
+         CASE WHEN role NOT IN ('user','assistant','tool','system') THEN 'bad_role' END AS r4,
+         CASE WHEN ts IS NOT NULL AND epoch_us(ts) NOT BETWEEN 0 AND 4102444800000000
+              THEN 'ts_out_of_range' END AS r5
+  FROM transcripts
+),
+bad AS (
+  SELECT reason, count(*) AS n_rows FROM (
+    SELECT unnest([x FOR x IN [r1, r2, r3, r4, r5] IF x IS NOT NULL]) AS reason
+    FROM v
+  ) GROUP BY 1
+),
+good AS (
+  SELECT 'valid' AS reason, count(*) AS n_rows FROM v
+  WHERE r1 IS NULL AND r2 IS NULL AND r3 IS NULL AND r4 IS NULL AND r5 IS NULL
+)
+SELECT * FROM bad UNION ALL SELECT * FROM good""",
         "dedup_exact": _dedup_exact_sql(),
         "text_quality": _text_quality_sql(),
         "doc_fingerprint": _fingerprint_sql(),
@@ -757,6 +844,7 @@ FROM m""",
         "simhash_pairs": _simhash_pairs_sql(3),
         "knn_bruteforce": _knn_sql(5),
         "knn_lsh": _knn_lsh_sql(5),
+        "dedup_embedding": _embedding_dup_sql(0.4),
         # multimodal_features: no oracle (binary payload ops aren't
         # SQL-expressible) -> driver records rows-only check
     }

@@ -69,7 +69,7 @@ def _dod_slots(dod: np.ndarray):
     n = len(dod)
     z = _zigzag(dod)
     vals = np.zeros((n, 3), dtype=_U64)
-    lens = np.zeros((n, 3), dtype=np.uint8)
+    lens = np.zeros((n, 3), dtype=np.int64)
 
     zero = dod == 0
     b7 = ~zero & (z < _U64(1 << 7))
@@ -117,7 +117,7 @@ def _gorilla_slots(bits: np.ndarray, pos: np.ndarray):
     x = bits ^ prev
 
     vals = np.zeros((n, 3), dtype=_U64)
-    lens = np.zeros((n, 3), dtype=np.uint8)
+    lens = np.zeros((n, 3), dtype=np.int64)
 
     first = pos == 0
     vals[first, 1] = bits[first] >> _U64(32)
@@ -142,9 +142,9 @@ def _gorilla_slots(bits: np.ndarray, pos: np.ndarray):
         vals[nz, 0] = vals_nz0
         lens[nz, 0] = 12
         vals[nz, 1] = np.where(hi_len > 0, m >> lo_len, 0)
-        lens[nz, 1] = hi_len.astype(np.uint8)
+        lens[nz, 1] = hi_len.astype(np.int64)
         vals[nz, 2] = m & ((_U64(1) << lo_len) - _U64(1))
-        lens[nz, 2] = lo_len.astype(np.uint8)
+        lens[nz, 2] = lo_len.astype(np.int64)
     return vals, lens
 
 
@@ -158,32 +158,61 @@ def _section_bits(lens: np.ndarray, offsets: np.ndarray) -> np.ndarray:
 def _scatter(buf: np.ndarray, vals: np.ndarray, lens: np.ndarray, bitpos: np.ndarray):
     """OR variable-width MSB-first fields into buf at absolute bit offsets.
 
-    Each field is <= 32 bits, so with the sub-byte shift it fits a 64-bit
-    big-endian window; disjoint bit ranges mean add == or, and np.add.at on
-    uint8 cannot overflow (contributions to one byte have disjoint bits).
+    Each field is <= 32 bits, so with the sub-byte shift (<= 7) it spans at
+    most ceil(39/8) = 5 bytes of a 64-bit big-endian window; disjoint bit
+    ranges mean add == or. The accumulation uses np.bincount (fast C
+    histogram) instead of np.add.at (unbuffered ufunc, ~10x slower); byte
+    sums cannot exceed 255 because contributions to one byte occupy
+    disjoint bits.
     """
-    keep = lens > 0
-    v = vals[keep].astype(_U64)
-    ln = lens[keep].astype(_U64)
+    keep = (lens > 0).reshape(-1)
+    v = vals.reshape(-1)[keep]
+    ln = lens.reshape(-1)[keep].view(_U64)  # reinterpret: values in [1,64]
     p = bitpos[keep]
-    B = (p >> 3).astype(np.int64)
-    r = (p & 7).astype(_U64)
+    B = p >> 3
+    r = (p & 7).view(_U64)
     w = v << (_U64(64) - r - ln)
-    for j in range(8):
-        byte = ((w >> _U64(56 - 8 * j)) & _U64(0xFF)).astype(np.uint8)
-        np.add.at(buf, B + j, byte)
+
+    # B is non-decreasing (fields are emitted in byte order), so group by
+    # B mod 8: within a group, two windows either coincide exactly (same
+    # byte, disjoint bits -> add == or) or are fully disjoint 8-byte
+    # ranges. Coinciding runs collapse with one reduceat, then a single
+    # aligned uint64 fancy-add writes each window — no unbuffered ufunc.
+    rem = (B & 7).astype(np.int64, copy=False)
+    q = B >> 3
+    for rr in range(8):
+        m = rem == rr
+        if not m.any():
+            continue
+        qq = q[m]
+        ww = w[m]
+        first = np.empty(len(qq), dtype=bool)
+        first[0] = True
+        np.not_equal(qq[1:], qq[:-1], out=first[1:])
+        starts = np.flatnonzero(first)
+        comb = np.add.reduceat(ww, starts)
+        uq = qq[starts]
+        # native-endian add of the byteswapped window: disjoint bits mean
+        # no carries, so byte-wise add commutes with the byte swap
+        view = buf[rr : rr + ((len(buf) - rr) >> 3 << 3)].view(np.uint64)
+        if np.little_endian:
+            comb = comb.byteswap()
+        view[uq] += comb
 
 
-def encode_chunks_vec(
+def encode_chunks_raw(
     ts_flat: np.ndarray, offsets: np.ndarray, streams_flat: list[np.ndarray]
 ):
-    """Encode many chunks at once.
+    """Encode many chunks at once into ONE contiguous buffer.
 
     ts_flat: int64 epoch-us, concatenated over chunks.
     offsets: int64[M+1] chunk boundaries into the flat arrays.
     streams_flat: per value stream, uint64 float-bit patterns, same layout.
 
-    Returns (chunk_bytes: list[bytes], stats dict of per-chunk arrays).
+    Returns (buf: uint8 array with trailing slack, chunk_off: int64[M+1]
+    byte offsets of each chunk in buf, stats dict of per-chunk arrays).
+    Chunks are laid out back-to-back in input order — callers slice or
+    gather spans without re-encoding.
     """
     ts_flat = np.asarray(ts_flat, dtype=_I64)
     offsets = np.asarray(offsets, dtype=np.int64)
@@ -192,7 +221,6 @@ def encode_chunks_vec(
     counts = offsets[1:] - offsets[:-1]
     if (counts <= 0).any():
         raise ValueError("empty chunk")
-    chunk_of = np.repeat(np.arange(M), counts)
     pos = np.arange(N) - np.repeat(offsets[:-1], counts)
 
     # deltas and delta-of-deltas (valid only where pos allows)
@@ -224,7 +252,7 @@ def encode_chunks_vec(
         chunk_sizes = chunk_sizes + 4 + nb
     chunk_off = np.concatenate([[0], np.cumsum(chunk_sizes)])
     total = int(chunk_off[-1])
-    buf = np.zeros(total + 8, dtype=np.uint8)  # +8 slack for 64-bit windows
+    buf = np.zeros(total + 16, dtype=np.uint8)  # slack for 64-bit windows
 
     # ---- fixed headers (vectorized byte scatters) ----
     def put_le(start: np.ndarray, value: np.ndarray, nbytes: int):
@@ -251,29 +279,37 @@ def encode_chunks_vec(
 
     # ---- bitstream scatters ----
     def scatter_stream(vals, lens, sec_byte_start):
-        flat_lens = lens.reshape(-1).astype(np.int64)
+        flat_lens = lens.reshape(-1)
         cum = np.concatenate([[0], np.cumsum(flat_lens)])[:-1]  # exclusive
         first_field = offsets[:-1] * 3
-        seg_base = np.repeat(cum[first_field], counts * 3)
-        within = cum - seg_base
-        abs_bit = np.repeat(sec_byte_start, counts * 3) * 8 + within
-        _scatter(buf, vals.reshape(-1), lens.reshape(-1), abs_bit)
+        # one repeat: per-chunk (section bit origin - chunk's first bit)
+        base = sec_byte_start * 8 - cum[first_field]
+        abs_bit = np.repeat(base, counts * 3) + cum
+        _scatter(buf, vals.reshape(-1), flat_lens, abs_bit)
 
     scatter_stream(ts_vals, ts_lens, ts_sec_start)
     for si in range(k):
         scatter_stream(sv_list[si], sl_list[si], stream_sec_starts[si])
 
-    out_bytes = [bytes(buf[chunk_off[i] : chunk_off[i + 1]]) for i in range(M)]
     stats = {
         "n_points": counts,
         "first_ts": t0,
         "last_ts": ts_flat[offsets[1:] - 1],
     }
     if k:
-        stats["x0"] = streams_flat[0][offsets[:-1]] if isinstance(streams_flat[0], np.ndarray) else None
         s0 = np.ascontiguousarray(streams_flat[0], dtype=_U64)
         stats["x0"] = s0[offsets[:-1]]
         stats["xn"] = s0[offsets[1:] - 1]
+    return buf, chunk_off, stats
+
+
+def encode_chunks_vec(
+    ts_flat: np.ndarray, offsets: np.ndarray, streams_flat: list[np.ndarray]
+):
+    """Compatibility wrapper: per-chunk python ``bytes`` + stats."""
+    buf, chunk_off, stats = encode_chunks_raw(ts_flat, offsets, streams_flat)
+    M = len(chunk_off) - 1
+    out_bytes = [bytes(buf[chunk_off[i] : chunk_off[i + 1]]) for i in range(M)]
     return out_bytes, stats
 
 

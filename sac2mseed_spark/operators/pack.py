@@ -50,7 +50,7 @@ from pyspark.sql.types import (
 
 from .. import TIERS
 from ..codec import MAGIC, VERSION
-from ..codec.vectorized import encode_chunks_vec
+from ..codec.vectorized import encode_chunks_raw, encode_chunks_vec
 from .rollup import window_start_col
 from .skew import CHUNK_POINTS
 
@@ -100,90 +100,158 @@ def _field(name: str):
 # flat path (default)
 # ----------------------------------------------------------------------
 
-def _assemble_block(conv, ws, turn_idx, ts, stream_cols):
-    """Encode + assemble one contiguous, sorted block of rows.
+_HEADER_LEN = 16  # MAGIC(2) + version(1) + n_streams(1) + n_chunks(4) + n_points(8)
 
-    Returns a dict of output columns (one element per window).
-    """
-    n = len(ts)
-    # window boundaries: change of (conv, ws)
-    new_win = np.ones(n, dtype=bool)
+_ARROW_OUT_SCHEMA = None  # built lazily inside the worker
+
+
+def _ranges(starts: np.ndarray, lengths: np.ndarray) -> np.ndarray:
+    """Concatenated [s, s+len) index ranges (the segmented-arange trick)."""
+    total = int(lengths.sum())
+    if total == 0:
+        return np.empty(0, dtype=np.int64)
+    rep = np.repeat(starts - np.concatenate([[0], np.cumsum(lengths)[:-1]]), lengths)
+    return rep + np.arange(total, dtype=np.int64)
+
+
+def _conv_ws_change(tbl) -> np.ndarray:
+    """Boolean array: row starts a new (conv_id, window_start_us) group.
+    Comparison happens inside Arrow — no per-row python strings."""
+    import pyarrow.compute as pc
+
+    n = tbl.num_rows
+    new = np.ones(n, dtype=bool)
     if n > 1:
-        new_win[1:] = (conv[1:] != conv[:-1]) | (ws[1:] != ws[:-1])
-    # chunk boundaries: window change OR turn_idx//CHUNK_POINTS change
-    cp = turn_idx // CHUNK_POINTS
+        conv = tbl.column("conv_id").chunk(0)
+        ws = tbl.column("window_start_us").chunk(0)
+        c = pc.not_equal(conv.slice(1, n - 1), conv.slice(0, n - 1)).to_numpy(
+            zero_copy_only=False
+        )
+        w = pc.not_equal(ws.slice(1, n - 1), ws.slice(0, n - 1)).to_numpy(
+            zero_copy_only=False
+        )
+        new[1:] = c | w
+    return new
+
+
+def _run_block_arrow(tbl):
+    """Encode + assemble one contiguous sorted block; returns a RecordBatch.
+
+    Fully vectorized: chunk bytes come back as one buffer from
+    encode_chunks_raw; window blobs are built by writing 16-byte headers at
+    computed offsets and gathering chunk spans; the Arrow binary column is
+    constructed directly from (offsets, data) buffers — zero python string
+    or bytes objects anywhere.
+    """
+    import pyarrow as pa
+
+    n = tbl.num_rows
+    ws = tbl.column("window_start_us").chunk(0).to_numpy()
+    turn = tbl.column("turn_idx").chunk(0).to_numpy()
+    ts = tbl.column("ts_us").chunk(0).to_numpy()
+    streams = [
+        np.ascontiguousarray(
+            tbl.column(s).chunk(0).to_numpy(zero_copy_only=False), dtype=np.float64
+        ).view(np.uint64)
+        for s in STREAMS
+    ]
+
+    new_win = _conv_ws_change(tbl)
+    cp = turn // CHUNK_POINTS
     new_chunk = new_win.copy()
     if n > 1:
         new_chunk[1:] |= cp[1:] != cp[:-1]
     chunk_starts = np.flatnonzero(new_chunk)
     offsets = np.concatenate([chunk_starts, [n]]).astype(np.int64)
-    chunk_bytes, stats = encode_chunks_vec(ts, offsets, stream_cols)
+    buf, chunk_off, stats = encode_chunks_raw(ts, offsets, streams)
 
-    win_starts = np.flatnonzero(new_win)  # indices into rows
-    # map chunks -> windows: which chunk index starts each window
+    win_starts = np.flatnonzero(new_win)
+    W = len(win_starts)
     win_chunk_start = np.searchsorted(chunk_starts, win_starts)
     win_chunk_end = np.concatenate([win_chunk_start[1:], [len(chunk_starts)]])
     n_chunks = (win_chunk_end - win_chunk_start).astype(np.int32)
     win_row_end = np.concatenate([win_starts[1:], [n]])
     n_points = (win_row_end - win_starts).astype(np.int64)
 
-    payloads, crcs = [], []
-    for i in range(len(win_starts)):
-        c0, c1 = win_chunk_start[i], win_chunk_end[i]
-        blob = MAGIC + _struct.pack(
-            _HEAD_FMT, VERSION, len(stream_cols), c1 - c0, int(n_points[i])
-        )
-        blob += b"".join(chunk_bytes[c0:c1])
-        payloads.append(blob)
-        crcs.append(zlib.crc32(blob))
-    last_chunk = win_chunk_end - 1
-    return {
-        "conv_id": conv[win_starts],
-        "window_start_us": ws[win_starts],
-        "n_points": n_points,
-        "n_chunks": n_chunks,
-        "first_ts_us": stats["first_ts"][win_chunk_start].astype(np.int64),
-        "last_ts_us": stats["last_ts"][last_chunk].astype(np.int64),
-        "x0": stats["x0"][win_chunk_start].view(np.int64),
-        "xn": stats["xn"][last_chunk].view(np.int64),
-        "payload": payloads,
-        "crc32": np.array(crcs, dtype=np.int64),
-    }
+    # blob layout: per window a 16-byte header + its contiguous chunk span
+    span_start = chunk_off[win_chunk_start]
+    span = chunk_off[win_chunk_end] - span_start
+    out_off = np.zeros(W + 1, dtype=np.int64)
+    np.cumsum(_HEADER_LEN + span, out=out_off[1:])
+    out = np.empty(int(out_off[-1]), dtype=np.uint8)
+    h = out_off[:-1]
+    out[h] = MAGIC[0]
+    out[h + 1] = MAGIC[1]
+    out[h + 2] = VERSION
+    out[h + 3] = len(STREAMS)
+    for j in range(4):  # n_chunks, little-endian u32
+        out[h + 4 + j] = ((n_chunks.astype(np.uint64) >> np.uint64(8 * j)) & np.uint64(0xFF)).astype(np.uint8)
+    for j in range(8):  # n_points, little-endian u64
+        out[h + 8 + j] = ((n_points.astype(np.uint64) >> np.uint64(8 * j)) & np.uint64(0xFF)).astype(np.uint8)
+    out[_ranges(h + _HEADER_LEN, span)] = buf[_ranges(span_start, span)]
+
+    mv = memoryview(out)
+    crcs = np.fromiter(
+        (zlib.crc32(mv[out_off[i] : out_off[i + 1]]) for i in range(W)),
+        dtype=np.int64,
+        count=W,
+    )
+
+    payload = pa.Array.from_buffers(
+        pa.binary(),
+        W,
+        [None, pa.py_buffer(out_off.astype(np.int32)), pa.py_buffer(out)],
+    )
+    conv_out = tbl.column("conv_id").chunk(0).take(pa.array(win_starts))
+    return pa.RecordBatch.from_arrays(
+        [
+            conv_out,
+            pa.array(ws[win_starts]),
+            pa.array(n_points),
+            pa.array(n_chunks),
+            pa.array(stats["first_ts"][win_chunk_start].astype(np.int64)),
+            pa.array(stats["last_ts"][win_chunk_end - 1].astype(np.int64)),
+            pa.array(stats["x0"][win_chunk_start].view(np.int64)),
+            pa.array(stats["xn"][win_chunk_end - 1].view(np.int64)),
+            payload,
+            pa.array(crcs),
+        ],
+        names=[
+            "conv_id",
+            "window_start_us",
+            "n_points",
+            "n_chunks",
+            "first_ts_us",
+            "last_ts_us",
+            "x0",
+            "xn",
+            "payload",
+            "crc32",
+        ],
+    )
 
 
-def _pack_flat_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """One pass over a partition's sorted flat rows; incomplete trailing
-    window groups are carried into the next Arrow batch."""
-    carry: pd.DataFrame | None = None
+def _pack_flat_arrow(batches) -> "Iterator":
+    """One pass over a partition's sorted flat rows (Arrow RecordBatches);
+    the trailing incomplete window group is carried into the next batch."""
+    import pyarrow as pa
 
-    def split_complete(pdf: pd.DataFrame):
-        conv = pdf["conv_id"].to_numpy()
-        ws = pdf["window_start_us"].to_numpy()
-        change = np.flatnonzero((conv[1:] != conv[:-1]) | (ws[1:] != ws[:-1]))
-        # start index of the final (possibly incomplete) group
-        start = int(change[-1]) + 1 if len(change) else 0
-        return pdf.iloc[:start], pdf.iloc[start:]
+    carry = None  # pa.Table
 
-    def run(pdf: pd.DataFrame) -> pd.DataFrame:
-        cols = _assemble_block(
-            pdf["conv_id"].to_numpy(),
-            pdf["window_start_us"].to_numpy(np.int64),
-            pdf["turn_idx"].to_numpy(np.int64),
-            pdf["ts_us"].to_numpy(np.int64),
-            [pdf[s].to_numpy(np.float64).view(np.uint64) for s in STREAMS],
-        )
-        return pd.DataFrame(cols)
-
-    for pdf in batches:
-        if len(pdf) == 0:
+    for rb in batches:
+        if rb.num_rows == 0:
             continue
+        tbl = pa.Table.from_batches([rb])
         if carry is not None:
-            pdf = pd.concat([carry, pdf], ignore_index=True)
-        done, carry = split_complete(pdf)
-        if len(done):
-            yield run(done)
-    if carry is not None and len(carry):
-        yield run(carry)
+            tbl = pa.concat_tables([carry, tbl]).combine_chunks()
+        new = _conv_ws_change(tbl)
+        change = np.flatnonzero(new[1:])  # group starts after row 0
+        start = int(change[-1]) + 1 if len(change) else 0
+        done, carry = tbl.slice(0, start), tbl.slice(start)
+        if done.num_rows:
+            yield _run_block_arrow(done)
+    if carry is not None and carry.num_rows:
+        yield _run_block_arrow(carry)
 
 
 def pack_tier(
@@ -191,8 +259,16 @@ def pack_tier(
     tier: str,
     salted: bool = False,
     n_partitions: int | None = None,
+    clustered_by_conv: bool = False,
 ) -> DataFrame:
-    """metrics (derive_turn_metrics output) -> packed window blobs."""
+    """metrics (derive_turn_metrics output) -> packed window blobs.
+
+    ``clustered_by_conv=True`` skips the repartition exchange when the
+    caller guarantees rows of one conv_id share a partition — true for
+    derive_turn_metrics output, whose lag window already hash-partitioned
+    on conv_id. The per-partition sort still runs (cheap on the window's
+    near-sorted output); payload bytes are identical either way.
+    """
     if salted:
         return _pack_tier_salted(metrics, tier)
     flat = metrics.select(
@@ -203,12 +279,15 @@ def pack_tier(
         *[F.col(s).cast("double").alias(s) for s in STREAMS],
     )
     keys = ["conv_id", "window_start_us"]
-    flat = (
-        flat.repartition(n_partitions, *keys) if n_partitions else flat.repartition(*keys)
-    )
+    if not clustered_by_conv:
+        flat = (
+            flat.repartition(n_partitions, "conv_id")
+            if n_partitions
+            else flat.repartition("conv_id")
+        )
     packed = flat.sortWithinPartitions(
         *keys, "turn_idx", "ts_us", *STREAMS
-    ).mapInPandas(_pack_flat_partition, schema=PACKED_SCHEMA)
+    ).mapInArrow(_pack_flat_arrow, schema=PACKED_SCHEMA)
     return packed.withColumn("tier", F.lit(tier))
 
 

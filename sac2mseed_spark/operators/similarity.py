@@ -187,6 +187,62 @@ def hyperplane_signatures(
     ).mapInPandas(run, schema=schema)
 
 
+def embedding_dup_pairs(
+    corpus: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = N_PLANES,
+    bands: int = PLANE_BANDS,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (a < b, sim >= threshold).
+
+    Candidates: self-join on hyperplane-signature bands (vectors this
+    similar agree on most sign bits, so they share a band w.h.p.); exact
+    cosine verifies. The corpus is signed once and bucket-joined — no
+    |corpus|² scoring.
+    """
+    bw = n_planes // bands
+    sigs = hyperplane_signatures(corpus, id_col, vec_col, n_planes)
+    banded = sigs.select(
+        "id",
+        "v",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftright(F.col("sig"), i * bw)
+                        .bitwiseAND(F.lit((1 << bw) - 1))
+                        .alias("key"),
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("id", "v", "bk.band", "bk.key")
+    cand = (
+        banded.alias("l")
+        .join(banded.alias("r"), ["band", "key"])
+        .filter(F.col("l.id") < F.col("r.id"))
+        .select(
+            F.col("l.id").alias("query_id"),
+            F.col("l.v").alias("qv"),
+            F.col("r.id").alias("neighbor_id"),
+            F.col("r.v").alias("cv"),
+        )
+        .distinct()
+    )
+    scored = cand.mapInPandas(_cosine_pairs_kernel, schema=_PAIR_SCHEMA)
+    return (
+        scored.withColumn("sim", F.round("sim", 6))
+        .filter(F.col("sim") >= threshold)
+        .select(
+            F.col("query_id").alias("a"), F.col("neighbor_id").alias("b"), "sim"
+        )
+    )
+
+
 def knn_lsh(
     corpus: DataFrame,
     queries: DataFrame,

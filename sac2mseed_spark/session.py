@@ -46,6 +46,14 @@ def get_spark(
     # local mode they inherit the driver process env, so export PYTHONPATH
     # before the JVM starts. (Cluster deployments ship the package with
     # spark-submit --py-files instead.)
+    # numpy kernels allocate multi-MB temporaries per Arrow batch; with
+    # glibc's default mmap threshold every such buffer is a fresh mmap that
+    # must be page-faulted in, and 32 concurrent workers serialize on the
+    # kernel's fault path. Raising the threshold keeps big blocks in the
+    # (reused, already-faulted) heap arena.
+    os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", "536870912")
+    os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", "536870912")
+
     pkg_parent = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     existing = os.environ.get("PYTHONPATH", "")
     if pkg_parent not in existing.split(os.pathsep):
@@ -61,9 +69,14 @@ def get_spark(
     if master.startswith("local"):
         # local mode = one JVM for driver+executors; size the heap for the
         # thread count instead of Spark's 1g default (cluster mode gets
-        # memory from spark-submit flags instead).
-        builder = builder.config(
-            "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g")
+        # memory from spark-submit flags instead). Keep the heap MODEST and
+        # pre-touched: an oversized growing heap spends more time
+        # page-faulting fresh regions than it saves (measured: 48g heap ran
+        # the same job 3x slower than 16g on this box).
+        mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g")
+        builder = builder.config("spark.driver.memory", mem).config(
+            "spark.driver.extraJavaOptions",
+            f"-Xms{mem} -XX:+AlwaysPreTouch",
         )
     for k, v in ENGINE_CONFS.items():
         builder = builder.config(k, v)

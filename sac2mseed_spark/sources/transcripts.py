@@ -63,6 +63,7 @@ FIXTURES: dict[str, TranscriptSpec] = {
     # scaling-efficiency runs: large enough that per-stage fixed overheads
     # (~100ms) vanish against compute at local[8]
     "t_scale": TranscriptSpec(25_000, 300, 800, n_hot=20, hot_turns=50_000),
+    "t_scale4": TranscriptSpec(100_000, 300, 800, n_hot=80, hot_turns=50_000),
 }
 
 # Max turns materialized from a single generator input row.  Hot
@@ -81,12 +82,17 @@ def generate_transcripts(
     spec: TranscriptSpec | str = "t_small",
     seed: int = 42,
     parallelism: int | None = None,
+    conv_slice: tuple[int, int] | None = None,
 ) -> DataFrame:
     """Build the transcripts DataFrame for a fixture spec.
 
     Everything is expression-level (JVM, codegen); zero Python UDFs and zero
     shuffles except the optional output-order shuffle for the out-of-order
     fixture.
+
+    ``conv_slice=(p, P)`` keeps only conversations with cid % P == p — a
+    disjoint, exhaustive partition of the fixture used to emulate
+    per-executor input splits (multi-process scaling runs).
     """
     if isinstance(spec, str):
         spec = FIXTURES[spec]
@@ -94,6 +100,9 @@ def generate_transcripts(
 
     convs = spark.range(0, spec.n_convs, 1, parallelism or spark.sparkContext.defaultParallelism)
     convs = convs.withColumnRenamed("id", "cid")
+    if conv_slice is not None:
+        p, np_ = conv_slice
+        convs = convs.filter(F.pmod(F.col("cid"), F.lit(np_)) == p)
 
     span = max(spec.max_turns - spec.min_turns, 0) + 1
     n_turns = F.lit(spec.min_turns) + F.pmod(_h(F.col("cid"), s, F.lit("nt")), F.lit(span))
