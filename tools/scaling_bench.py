@@ -93,19 +93,22 @@ def exec_worker(p: int, n_exec: int, cores: int) -> None:
     os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "6g")
     from sac2mseed_spark.session import get_spark
 
+    barrier_dir = os.environ.get("SCALING_BARRIER_DIR")
     spark = get_spark(
         f"exec_{p}_{n_exec}", master=f"local[{cores}]", shuffle_partitions=2 * cores
     )
     spark.sparkContext.setLogLevel("ERROR")
-    # warm once on a tiny slice-independent job, then run the slice twice
-    best = None
-    n_turns = rolled = 0
-    for i in range(2):
-        t0 = time.perf_counter()
-        n_turns, rolled = _pipeline_once(spark, conv_slice=(p, n_exec))
-        dt = time.perf_counter() - t0
-        if i > 0:
-            best = dt
+    # warm-up iteration (codegen + python workers + heap), then a barrier so
+    # every executor's TIMED iteration runs concurrently with the others' —
+    # like a real cluster job, where all executors work at once
+    _pipeline_once(spark, conv_slice=(p, n_exec))
+    if barrier_dir:
+        open(os.path.join(barrier_dir, f"warm_{p}"), "w").close()
+        while not os.path.exists(os.path.join(barrier_dir, "GO")):
+            time.sleep(0.2)
+    t0 = time.perf_counter()
+    n_turns, rolled = _pipeline_once(spark, conv_slice=(p, n_exec))
+    best = time.perf_counter() - t0
     print(
         "EXEC_RESULT "
         + json.dumps(
@@ -114,9 +117,15 @@ def exec_worker(p: int, n_exec: int, cores: int) -> None:
     )
 
 
-def _spawn(args: list[str]):
+def _spawn(args: list[str], cpus: str | None = None):
+    cmd = [sys.executable, os.path.abspath(__file__), *args]
+    if cpus is not None:
+        # pin the executor JVM (and all its helper/GC/python threads) to a
+        # disjoint core set — each emulated executor gets exactly its
+        # node's cores at BOTH cluster sizes, like a real cluster
+        cmd = ["taskset", "-c", cpus, *cmd]
     return subprocess.Popen(
-        [sys.executable, os.path.abspath(__file__), *args],
+        cmd,
         stdout=subprocess.PIPE,
         stderr=subprocess.DEVNULL,
         text=True,
@@ -133,12 +142,27 @@ def run_single_jvm(cores: int) -> dict:
     raise RuntimeError(f"no result from local[{cores}]:\n{out[-2000:]}")
 
 
-def run_executors(n_exec: int, cores_per_exec: int = 4) -> dict:
+def run_executors(n_exec: int, cores_per_exec: int = 4, pin: bool = True) -> dict:
+    import tempfile
+
+    barrier = tempfile.mkdtemp(prefix="scaling_barrier_")
+    os.environ["SCALING_BARRIER_DIR"] = barrier
     t0 = time.perf_counter()
     procs = [
-        _spawn(["exec", str(p), str(n_exec), str(cores_per_exec)])
+        _spawn(
+            ["exec", str(p), str(n_exec), str(cores_per_exec)],
+            cpus=f"{p * cores_per_exec}-{(p + 1) * cores_per_exec - 1}" if pin else None,
+        )
         for p in range(n_exec)
     ]
+    # release the barrier once every executor reports warm
+    while sum(
+        os.path.exists(os.path.join(barrier, f"warm_{p}")) for p in range(n_exec)
+    ) < n_exec:
+        time.sleep(0.5)
+        if any(pr.poll() is not None for pr in procs):
+            break  # an executor died; fall through and surface its output
+    open(os.path.join(barrier, "GO"), "w").close()
     results = []
     for pr in procs:
         out, _ = pr.communicate(timeout=1800)
