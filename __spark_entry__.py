@@ -252,6 +252,24 @@ def q_roundtrip_1m(spark, sf_dir):
     )
 
 
+def q_time_functions(spark, sf_dir):
+    # calendar/time conversions (ms_hptime2isotimestr / ms_doy2md family,
+    # genutils.c:331-430, 625-666): epoch-us <-> calendar fields round-trip
+    t = transcripts_from_events(spark, sf_dir)
+    ts = F.col("ts").cast("timestamp")
+    return t.select(
+        "conv_id",
+        "turn_idx",
+        ts_us_col("ts").alias("ts_us"),
+        F.date_format(ts, "yyyy-MM-dd'T'HH:mm:ss").alias("iso_s"),
+        F.dayofyear(ts).cast("int").alias("doy"),
+        F.year(ts).cast("int").alias("yr"),
+        F.month(ts).cast("int").alias("mon"),
+        F.dayofmonth(ts).cast("int").alias("dom"),
+        (ts_us_col("ts") % 1_000_000).alias("us_frac"),
+    )
+
+
 def q_conv_summary(spark, sf_dir):
     # trace-summary analogue (mst_printtracelist, traceutils.c:1301-1427)
     m = _metrics(spark, sf_dir)
@@ -346,6 +364,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "autoscale": q_autoscale,
         "pack_stats_1m": q_pack_stats_1m,
         "roundtrip_1m": q_roundtrip_1m,
+        "time_functions": q_time_functions,
         "conv_summary": q_conv_summary,
         "validation_report": q_validation_report,
         "dedup_exact": q_dedup_exact,
@@ -808,6 +827,17 @@ WHERE conv_id LIKE 'conv_1%' AND ts_us BETWEEN {lo} AND {hi}""",
 SELECT conv_id, ts_us, CAST(latency_us AS DOUBLE) AS latency_us,
        CAST(token_count AS DOUBLE) AS token_count
 FROM m""",
+        "time_functions": f"""
+WITH transcripts AS ({TRANSCRIPTS_FROM_EVENTS_SQL})
+SELECT conv_id, turn_idx,
+       epoch_us(ts) AS ts_us,
+       strftime(ts, '%Y-%m-%dT%H:%M:%S') AS iso_s,
+       CAST(dayofyear(ts) AS INTEGER) AS doy,
+       CAST(year(ts) AS INTEGER) AS yr,
+       CAST(month(ts) AS INTEGER) AS mon,
+       CAST(day(ts) AS INTEGER) AS dom,
+       epoch_us(ts) % 1000000 AS us_frac
+FROM transcripts""",
         "conv_summary": f"""{_ORACLE_PREFIX}
 SELECT conv_id, count(*) AS n_turns, min(ts_us) AS first_ts_us,
        max(ts_us) AS last_ts_us, CAST(sum(token_count) AS BIGINT) AS sum_tokens,

@@ -46,6 +46,58 @@ def stream_turn_metrics(transcripts: DataFrame) -> DataFrame:
     )
 
 
+def stream_metrics_stateful(transcripts: DataFrame) -> DataFrame:
+    """Per-turn metrics WITH cross-batch latency via applyInPandasWithState.
+
+    The literal StreamState analogue (libmseed.h:458-465 / pack.c:
+    1003-1039): per conv_id the state carries (last_turn_idx, last_ts_us)
+    so the first turn of a conversation's continuation in a later
+    micro-batch still gets its true inter-turn latency — the streaming
+    twin of plans/pipeline's carried conv-state. Assumes append-ordered
+    delivery per conversation (late/out-of-order backfill belongs to the
+    batch path, like the reference's heal pass).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = (
+        "conv_id string, turn_idx int, ts_us long, latency_us long, token_count long"
+    )
+    state_schema = "last_turn_idx long, last_ts_us long"
+
+    def fn(key, pdfs, state: GroupState):
+        conv_id = key[0]
+        parts = [p for p in pdfs if len(p)]
+        if not parts:
+            return
+        pdf = pd.concat(parts, ignore_index=True).sort_values(
+            ["turn_idx", "ts"], kind="mergesort"
+        )
+        ts_us = (pdf["ts"].astype("datetime64[us]").astype("int64")).to_numpy()
+        lat = ts_us.astype("object")
+        lat[1:] = ts_us[1:] - ts_us[:-1]
+        if state.exists:
+            _, last_ts = state.get
+            lat[0] = int(ts_us[0]) - last_ts
+        else:
+            lat[0] = None
+        tok = [len(t.split()) if isinstance(t, str) else 0 for t in pdf["text"]]
+        state.update((int(pdf["turn_idx"].iloc[-1]), int(ts_us[-1])))
+        yield pd.DataFrame(
+            {
+                "conv_id": conv_id,
+                "turn_idx": pdf["turn_idx"].to_numpy(),
+                "ts_us": ts_us,
+                "latency_us": lat,
+                "token_count": tok,
+            }
+        )
+
+    return transcripts.groupBy("conv_id").applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
+
+
 def stream_rollup(
     metrics: DataFrame, tier: str, watermark: str = "10 minutes"
 ) -> DataFrame:

@@ -83,6 +83,42 @@ def test_stream_sessionize_matches_batch(spark, stream_setup):
     assert got == want
 
 
+def test_stateful_metrics_carry_latency_across_batches(spark, stream_setup, tmp_path):
+    """applyInPandasWithState: the first turn of a conversation's
+    continuation in micro-batch 2 gets its true latency from carried
+    state (StreamState analogue) — values equal the batch derivation."""
+    from sac2mseed_spark.streaming.rollup_stream import stream_metrics_stateful
+
+    base, t, src, schema = stream_setup
+    # maxFilesPerTrigger=1 forces multiple micro-batches so conversations
+    # genuinely straddle batches and the state carry is exercised
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    out = str(tmp_path / "out")
+    q = (
+        stream_metrics_stateful(stream)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r["conv_id"], r["turn_idx"]): (r["ts_us"], r["latency_us"], r["token_count"])
+        for r in spark.read.parquet(out).filter(F.col("conv_id") != SENTINEL).collect()
+    }
+    want = {
+        (r["conv_id"], r["turn_idx"]): (r["ts_us"], r["latency_us"], r["token_count"])
+        for r in derive_turn_metrics(t)
+        .select("conv_id", "turn_idx", "ts_us", "latency_us", "token_count")
+        .collect()
+    }
+    assert got == want
+
+
 def test_stream_checkpoint_resume_no_duplicates(spark, stream_setup, tmp_path):
     """Restarting from the same checkpoint with no new data emits nothing
     new (offset log = fpos analogue)."""
