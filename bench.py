@@ -72,6 +72,17 @@ def main():
         tiers["1m"].count() + tiers["1h"].count() + tiers["1d"].count()
     )
     queries["synth_pack_1m"] = timed(lambda: force(pack_tier(m, "1m")))
+    # compression measured at 1h (1m windows on this fixture hold ~4 points,
+    # so fixed headers dominate there — same physics as short miniSEED
+    # records); raw point = 8B ts + 8B per value stream (2 streams)
+    comp = {
+        tier: pack_tier(m, tier)
+        .agg(F.sum(F.length("payload")).alias("b"), F.sum("n_points").alias("p"))
+        .collect()[0]
+        for tier in ("1m", "1h")
+    }
+    bytes_per_point = {t: round(c["b"] / c["p"], 2) for t, c in comp.items()}
+    compression_ratio = {t: round(24.0 * c["p"] / c["b"], 2) for t, c in comp.items()}
     m.unpersist()
 
     pps = rolled_points / queries["synth_cascade"]
@@ -107,6 +118,8 @@ def main():
         "n_turns": n_turns,
         "rolled_points": rolled_points,
         "points_per_sec": round(pps, 1),
+        "pack_bytes_per_point": bytes_per_point,
+        "pack_compression_ratio": compression_ratio,
     }
     print(json.dumps(out))
 

@@ -418,7 +418,7 @@ _POINT_SCHEMA = StructType(
 
 
 def _decode_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    from ..codec import oracle
+    from ..codec.decode_fast import decode_blob_fast
 
     for pdf in batches:
         rows = {c: [] for c in ["conv_id", "window_start_us", "ts_us"]}
@@ -427,7 +427,7 @@ def _decode_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]
         for conv, ws, payload, xn in zip(
             pdf["conv_id"], pdf["window_start_us"], pdf["payload"], pdf["xn"]
         ):
-            ts, streams = oracle.decode_blob(
+            ts, streams = decode_blob_fast(
                 bytes(payload), expect_xn=int(np.uint64(np.int64(xn)))
             )
             n = len(ts)

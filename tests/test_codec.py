@@ -128,6 +128,28 @@ def test_vectorized_multi_stream():
     assert streams[0] == _bits(s1) and streams[1] == _bits(s2)
 
 
+@pytest.mark.parametrize("name", sorted(SERIES))
+def test_fast_decoder_matches_oracle(name):
+    from sac2mseed_spark.codec.decode_fast import decode_blob_fast
+
+    ts, vals = SERIES[name]
+    vb = _bits(vals)
+    blob = oracle.assemble_blob([oracle.encode_chunk(ts, [vb])], 1, len(ts))
+    slow = oracle.decode_blob(blob, expect_xn=vb[-1])
+    fast = decode_blob_fast(blob, expect_xn=vb[-1])
+    assert fast == slow
+
+
+def test_fast_decoder_xn_check():
+    from sac2mseed_spark.codec.decode_fast import decode_blob_fast
+
+    ts, vals = SERIES["const_rate/int_like"]
+    vb = _bits(vals)
+    blob = oracle.assemble_blob([oracle.encode_chunk(ts, [vb])], 1, len(ts))
+    with pytest.raises(ValueError, match="Xn mismatch"):
+        decode_blob_fast(blob, expect_xn=vb[-1] ^ 1)
+
+
 def test_nan_roundtrip_preserves_bit_pattern():
     ts = ts_constant_rate(4)
     nan_bits = struct.unpack("<Q", struct.pack("<d", float("nan")))[0]

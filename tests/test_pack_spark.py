@@ -128,6 +128,24 @@ def test_chunk_split_across_windows(spark):
     assert len(ts) == n and ts == list(range(1_700_000_000_000_000, 1_700_000_000_000_000 + 1000 * n, 1000))
 
 
+def test_hot_conversation_salted_equals_flat(spark):
+    """Zipf-head fixture (3 convs x 100k turns): hot conversations split
+    across chunk groups on the salted path and still produce blobs
+    byte-identical to the flat plan."""
+    m = derive_turn_metrics(generate_transcripts(spark, "t_hot", seed=42))
+    m = m.filter(F.col("conv_id") < "conv_00000010")  # the hot head + a few
+    flat = {
+        (r["conv_id"], r["window_start_us"]): (r["crc32"], r["n_points"], r["n_chunks"])
+        for r in pack_tier(m, "1d").collect()
+    }
+    salted = {
+        (r["conv_id"], r["window_start_us"]): (r["crc32"], r["n_points"], r["n_chunks"])
+        for r in pack_tier(m, "1d", salted=True).collect()
+    }
+    assert flat == salted
+    assert any(v[2] > 1 for v in flat.values())  # hot windows really split
+
+
 def test_payload_decodes_with_oracle(spark, packed_1m):
     _, packed = packed_1m
     row = packed.orderBy("conv_id", "window_start_us").first()
