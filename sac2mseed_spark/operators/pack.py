@@ -197,6 +197,14 @@ def _run_block_arrow(tbl):
         count=W,
     )
 
+    if out_off[-1] > np.iinfo(np.int32).max:
+        # >2 GiB of encoded payload in one carried block would silently
+        # wrap the Arrow int32 offsets; fail loudly — the caller should
+        # route such pathologically hot windows through the salted path
+        raise ValueError(
+            f"encoded block exceeds 2 GiB ({int(out_off[-1])} bytes); "
+            "use pack_tier(salted=True) for this key distribution"
+        )
     payload = pa.Array.from_buffers(
         pa.binary(),
         W,
@@ -417,35 +425,60 @@ _POINT_SCHEMA = StructType(
 )
 
 
-def _decode_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    from ..codec.decode_fast import decode_blob_fast
+def _binary_spans(col) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(data, starts, ends) views of an Arrow Binary/LargeBinary array's
+    value buffer — no per-row ``bytes`` objects, no copies."""
+    import pyarrow as pa
 
-    for pdf in batches:
-        rows = {c: [] for c in ["conv_id", "window_start_us", "ts_us"]}
-        for s in STREAMS:
-            rows[f"{s}_f"] = []
-        for conv, ws, payload, xn in zip(
-            pdf["conv_id"], pdf["window_start_us"], pdf["payload"], pdf["xn"]
-        ):
-            ts, streams = decode_blob_fast(
-                bytes(payload), expect_xn=int(np.uint64(np.int64(xn)))
-            )
-            n = len(ts)
-            rows["conv_id"].extend([conv] * n)
-            rows["window_start_us"].extend([ws] * n)
-            rows["ts_us"].extend(ts)
-            for s, bits in zip(STREAMS, streams):
-                rows[f"{s}_f"].extend(
-                    np.array(bits, dtype=np.uint64).view(np.float64).tolist()
-                )
-        yield pd.DataFrame(rows)
+    off_dtype = np.int64 if pa.types.is_large_binary(col.type) else np.int32
+    off = np.frombuffer(col.buffers()[1], dtype=off_dtype)[
+        col.offset : col.offset + len(col) + 1
+    ].astype(np.int64)
+    data = np.frombuffer(col.buffers()[2], dtype=np.uint8)
+    return data, off[:-1], off[1:]
+
+
+def _decode_partition_arrow(batches) -> "Iterator":
+    """Vectorized unpack of a whole Arrow batch of payload blobs: one
+    decode_concat call per batch (codec/decode_vec.py wavefront kernel),
+    output columns built from flat numpy arrays."""
+    import pyarrow as pa
+
+    from ..codec.decode_vec import check_xn, decode_concat
+
+    for rb in batches:
+        if rb.num_rows == 0:
+            continue
+        names = rb.schema.names
+        pay = rb.column(names.index("payload"))
+        data, starts, ends = _binary_spans(pay)
+        blob_pts, point_off, ts_out, streams = decode_concat(data, starts, ends)
+        xn = rb.column(names.index("xn")).to_numpy().view(np.uint64)
+        check_xn(streams, point_off, xn)
+
+        idx = np.repeat(np.arange(rb.num_rows), blob_pts)
+        conv_out = rb.column(names.index("conv_id")).take(pa.array(idx))
+        ws_out = rb.column(names.index("window_start_us")).to_numpy()[idx]
+        arrays = [conv_out, pa.array(ws_out), pa.array(ts_out)]
+        for s in streams:
+            arrays.append(pa.array(s.view(np.float64)))
+        yield pa.RecordBatch.from_arrays(
+            arrays,
+            names=["conv_id", "window_start_us", "ts_us"]
+            + [f"{s}_f" for s in STREAMS],
+        )
 
 
 def unpack_tier(packed: DataFrame) -> DataFrame:
     """Inverse of pack_tier: explode blobs back into per-point rows with the
-    Xn integrity check (unpackdata.c:556-561 analogue) enforced per window."""
+    Xn integrity check (unpackdata.c:556-561 analogue) enforced per window.
+
+    The read side is as first-class as the write side (the reference's
+    unpack suite is larger than its pack suite, libmseed/unpackdata.c):
+    one mapInArrow pass, whole-batch numpy wavefront decode, zero per-point
+    Python."""
     cols = ["conv_id", "window_start_us", "payload", "xn"]
-    return packed.select(*cols).mapInPandas(_decode_partition, schema=_POINT_SCHEMA)
+    return packed.select(*cols).mapInArrow(_decode_partition_arrow, schema=_POINT_SCHEMA)
 
 
 def verify_continuity(packed: DataFrame) -> DataFrame:

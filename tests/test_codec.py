@@ -140,6 +140,76 @@ def test_fast_decoder_matches_oracle(name):
     assert fast == slow
 
 
+@pytest.mark.parametrize("name", sorted(SERIES))
+def test_vec_decoder_matches_oracle(name):
+    from sac2mseed_spark.codec.decode_vec import decode_blob_vec
+
+    ts, vals = SERIES[name]
+    vb = _bits(vals)
+    blob = oracle.assemble_blob([oracle.encode_chunk(ts, [vb])], 1, len(ts))
+    slow = oracle.decode_blob(blob, expect_xn=vb[-1])
+    vec = decode_blob_vec(blob, expect_xn=vb[-1])
+    assert vec[0] == slow[0]
+    assert vec[1] == slow[1]
+
+
+def test_vec_decoder_many_blobs_concat():
+    """Whole-batch wavefront decode: many blobs, mixed chunk counts and
+    sizes, two streams — values identical to the oracle per blob."""
+    from sac2mseed_spark.codec.decode_vec import check_xn, decode_concat
+
+    rng = np.random.default_rng(7)
+    blobs, exp = [], []
+    for _ in range(40):
+        chunks = []
+        for _c in range(int(rng.integers(1, 4))):
+            n = int(rng.integers(1, 300))
+            t0 = int(rng.integers(10**14, 2 * 10**14))
+            if n > 1:
+                ts = (t0 + np.concatenate(
+                    [[0], np.cumsum(rng.integers(-5_000_000, 10_000_000, n - 1))]
+                )).astype(np.int64).tolist()
+            else:
+                ts = [t0]
+            s1 = _bits(rng.normal(size=n) * rng.choice([1e-6, 1.0, 1e8]))
+            s2 = _bits(rng.integers(0, 100, n).astype(float))
+            chunks.append((ts, [s1, s2]))
+        enc = [oracle.encode_chunk(ts, ss) for ts, ss in chunks]
+        blobs.append(oracle.assemble_blob(enc, 2, sum(len(t) for t, _ in chunks)))
+        exp.append(
+            (
+                sum((t for t, _ in chunks), []),
+                sum((ss[0] for _, ss in chunks), []),
+                sum((ss[1] for _, ss in chunks), []),
+            )
+        )
+    data = np.frombuffer(b"".join(blobs), np.uint8)
+    lens = np.array([len(b) for b in blobs], np.int64)
+    ends = np.cumsum(lens)
+    _, po, ts_out, streams = decode_concat(data, ends - lens, ends)
+    for i, (ats, as1, as2) in enumerate(exp):
+        s, e = po[i], po[i + 1]
+        assert ts_out[s:e].tolist() == ats
+        assert streams[0][s:e].tolist() == as1
+        assert streams[1][s:e].tolist() == as2
+    xn = np.array([e[1][-1] for e in exp], dtype=np.uint64)
+    check_xn(streams, po, xn)
+    bad = xn.copy()
+    bad[3] = bad[3] ^ np.uint64(1)
+    with pytest.raises(ValueError, match="Xn mismatch"):
+        check_xn(streams, po, bad)
+
+
+def test_vec_decoder_xn_check():
+    from sac2mseed_spark.codec.decode_vec import decode_blob_vec
+
+    ts, vals = SERIES["const_rate/int_like"]
+    vb = _bits(vals)
+    blob = oracle.assemble_blob([oracle.encode_chunk(ts, [vb])], 1, len(ts))
+    with pytest.raises(ValueError, match="Xn mismatch"):
+        decode_blob_vec(blob, expect_xn=vb[-1] ^ 1)
+
+
 def test_fast_decoder_xn_check():
     from sac2mseed_spark.codec.decode_fast import decode_blob_fast
 
