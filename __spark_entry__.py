@@ -31,6 +31,12 @@ from sac2mseed_spark.functions.metrics import derive_turn_metrics, ts_us_col
 from sac2mseed_spark.functions.multimodal import extract_features, synth_media
 from sac2mseed_spark.operators import dedup as D
 from sac2mseed_spark.operators import similarity as S
+from sac2mseed_spark.functions.selections import (
+    apply_selections,
+    override_source,
+    override_sql,
+    selections_sql,
+)
 from sac2mseed_spark.operators.gapfill import gap_fill
 from sac2mseed_spark.operators.gaps import gap_report
 from sac2mseed_spark.operators.pack import pack_tier, unpack_tier
@@ -210,6 +216,31 @@ def q_selections(spark, sf_dir):
     )
 
 
+# glob selections (ms_globmatch, libmseed/selection.c:604-700): `?` one
+# char, `*` any run, `[...]` sets with ranges, `[^...]` negation, `]`
+# literal when first in a set — all four grammar features exercised
+SEL_GLOB = [
+    ("conv_1?3*", 1_704_067_200_000_000, None),
+    ("conv_2[0-47-9]*", None, 1_704_240_000_000_000),
+    ("conv_[]5]", None, None),  # ']' first in set = literal member
+]
+
+
+def q_selections_glob(spark, sf_dir):
+    t = transcripts_from_events(spark, sf_dir).withColumn("ts_us", ts_us_col("ts"))
+    return apply_selections(t, SEL_GLOB).select(
+        "conv_id", "turn_idx", "role", "tool", "text", "ts_us"
+    )
+
+
+def q_overrides(spark, sf_dir):
+    # forced-field dot-splice (src/sac2mseed.c:318-337): override chars
+    # replace, '.' passes the original through, tail is kept
+    t = transcripts_from_events(spark, sf_dir).withColumn("ts_us", ts_us_col("ts"))
+    o = override_source(t, conv_id="CONV_....", role="R...", tool="forced")
+    return o.select("conv_id", "turn_idx", "role", "tool", "ts_us")
+
+
 def q_autoscale(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events")
     grp = ev.groupBy("user_id").agg(
@@ -254,9 +285,13 @@ def q_roundtrip_1m(spark, sf_dir):
 
 def q_time_functions(spark, sf_dir):
     # calendar/time conversions (ms_hptime2isotimestr / ms_doy2md family,
-    # genutils.c:331-430, 625-666): epoch-us <-> calendar fields round-trip
+    # genutils.c:331-430, 625-666): epoch-us <-> calendar fields round-trip,
+    # plus the 0.1-ms + [-50,+49]us round-half-up split of
+    # ms_hptime2btime (genutils.c:588-614)
     t = transcripts_from_events(spark, sf_dir)
     ts = F.col("ts").cast("timestamp")
+    us_frac = ts_us_col("ts") % 1_000_000
+    tms = F.floor((us_frac + F.lit(50)) / F.lit(100.0)).cast("long")
     return t.select(
         "conv_id",
         "turn_idx",
@@ -266,7 +301,9 @@ def q_time_functions(spark, sf_dir):
         F.year(ts).cast("int").alias("yr"),
         F.month(ts).cast("int").alias("mon"),
         F.dayofmonth(ts).cast("int").alias("dom"),
-        (ts_us_col("ts") % 1_000_000).alias("us_frac"),
+        us_frac.alias("us_frac"),
+        tms.alias("tenth_ms"),
+        (us_frac - tms * 100).alias("us_offset"),
     )
 
 
@@ -330,18 +367,24 @@ def q_knn_bruteforce(spark, sf_dir):
 
 def q_knn_lsh(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
-    return S.knn_lsh(emb, emb.filter(F.col("vec_id") % 50 == 0), k=5)
+    # expect_dims pins the kernel to the oracle's 64-d plane literals
+    return S.knn_lsh(emb, emb.filter(F.col("vec_id") % 50 == 0), k=5, expect_dims=64)
 
 
 def q_dedup_embedding(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
-    return S.embedding_dup_pairs(emb, threshold=0.4)
+    return S.embedding_dup_pairs(emb, threshold=0.4, expect_dims=64)
 
 
 def q_multimodal_features(spark, sf_dir):
+    # mean_level (a float byte-average with no clean SQL analogue) is
+    # dropped from the oracle-checked projection; it stays covered by
+    # tests/test_multimodal.py value assertions
     docs = load_table(spark, sf_dir, "documents")
     media = synth_media(docs)
-    return extract_features(media, fake_decode=True).orderBy("media_id")
+    return extract_features(media, fake_decode=True).select(
+        "media_id", "kind", "n_bytes", "width", "height", "n_frames", "digest"
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -361,6 +404,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gapfill_locf_1h": q_gapfill_locf_1h,
         "gapfill_linear_1h": q_gapfill_linear_1h,
         "selections": q_selections,
+        "selections_glob": q_selections_glob,
+        "overrides": q_overrides,
         "autoscale": q_autoscale,
         "pack_stats_1m": q_pack_stats_1m,
         "roundtrip_1m": q_roundtrip_1m,
@@ -800,6 +845,31 @@ SELECT a, b, sim FROM s WHERE sim >= {threshold}
 """
 
 
+def _multimodal_sql() -> str:
+    """Fake-decode feature oracle: every feature is a pure function of the
+    payload bytes (= utf-8 of the text), so md5/strlen reproduce the kernel
+    exactly. Digest bytes d[0..2] come from the md5 hex string via nibble
+    lookups (portable — no blob indexing)."""
+    def dbyte(i: int) -> str:  # digest byte i from hex chars 2i+1, 2i+2
+        hi = f"strpos('0123456789abcdef', substr(h, {2 * i + 1}, 1)) - 1"
+        lo = f"strpos('0123456789abcdef', substr(h, {2 * i + 2}, 1)) - 1"
+        return f"(({hi}) * 16 + ({lo}))"
+
+    return f"""
+WITH d AS (SELECT doc_id, text, md5(text) AS h FROM documents)
+SELECT doc_id AS media_id,
+       CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+            ELSE 'video' END AS kind,
+       CAST(strlen(text) AS BIGINT) AS n_bytes,
+       CAST(16 + {dbyte(0)} % 64 AS INTEGER) AS width,
+       CAST(16 + {dbyte(1)} % 64 AS INTEGER) AS height,
+       CAST(CASE WHEN doc_id % 3 = 0 THEN 1
+            ELSE 1 + {dbyte(2)} % 32 END AS INTEGER) AS n_frames,
+       h AS digest
+FROM d
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     lo, hi = 1_704_067_200_000_000, 1_704_240_000_000_000
     return {
@@ -821,6 +891,14 @@ FROM t""",
         "selections": f"""{_ORACLE_PREFIX}
 SELECT conv_id, turn_idx, role, tool, text, ts_us FROM m
 WHERE conv_id LIKE 'conv_1%' AND ts_us BETWEEN {lo} AND {hi}""",
+        "selections_glob": f"""{_ORACLE_PREFIX}
+SELECT conv_id, turn_idx, role, tool, text, ts_us FROM m
+WHERE {selections_sql(SEL_GLOB)}""",
+        "overrides": f"""{_ORACLE_PREFIX}
+SELECT {override_sql('conv_id', 'CONV_....')} AS conv_id, turn_idx,
+       {override_sql('role', 'R...')} AS role,
+       {override_sql('tool', 'forced')} AS tool, ts_us
+FROM m""",
         "autoscale": _autoscale_sql(),
         "pack_stats_1m": _pack_stats_sql(),
         "roundtrip_1m": f"""{_ORACLE_PREFIX}
@@ -836,7 +914,11 @@ SELECT conv_id, turn_idx,
        CAST(year(ts) AS INTEGER) AS yr,
        CAST(month(ts) AS INTEGER) AS mon,
        CAST(day(ts) AS INTEGER) AS dom,
-       epoch_us(ts) % 1000000 AS us_frac
+       epoch_us(ts) % 1000000 AS us_frac,
+       CAST(floor((epoch_us(ts) % 1000000 + 50) / 100.0) AS BIGINT) AS tenth_ms,
+       epoch_us(ts) % 1000000
+         - CAST(floor((epoch_us(ts) % 1000000 + 50) / 100.0) AS BIGINT) * 100
+         AS us_offset
 FROM transcripts""",
         "conv_summary": f"""{_ORACLE_PREFIX}
 SELECT conv_id, count(*) AS n_turns, min(ts_us) AS first_ts_us,
@@ -875,6 +957,5 @@ SELECT * FROM bad UNION ALL SELECT * FROM good""",
         "knn_bruteforce": _knn_sql(5),
         "knn_lsh": _knn_lsh_sql(5),
         "dedup_embedding": _embedding_dup_sql(0.4),
-        # multimodal_features: no oracle (binary payload ops aren't
-        # SQL-expressible) -> driver records rows-only check
+        "multimodal_features": _multimodal_sql(),
     }

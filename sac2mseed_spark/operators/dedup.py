@@ -30,8 +30,8 @@ from pyspark.sql import functions as F
 from ..functions.hashing import h60
 from ..functions.text import shingles, ws_tokens
 
-MINHASH_K = 12  # signature length
-MINHASH_BAND = 2  # rows per band -> 6 bands
+MINHASH_K = 16  # signature length
+MINHASH_BAND = 2  # rows per band -> 8 bands
 # 48 bits (not 64): stays positive in a signed BIGINT on both engines, and
 # 4x12-bit LSH bands keep candidate sets selective on same-vocabulary
 # corpora where narrow bands collide massively
@@ -42,8 +42,10 @@ def dedup_exact(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     """One row per distinct text: keeper = min id, plus group size.
 
     GroupBy on the digest (fixed 8 bytes) rather than raw text keeps the
-    shuffle narrow; the min(text) per digest resolves the (astronomically
-    unlikely, but checkable) digest collision deterministically.
+    shuffle narrow. A 60-bit digest collision would merge two distinct
+    texts into one group; that risk is accepted unverified (collision
+    odds ~n²/2⁶¹) — group by (text_h60, text) instead if the corpus
+    warrants paying the full-text shuffle.
     """
     return (
         docs.select(F.col(id_col), F.col(text_col), h60(text_col).alias("text_h60"))
@@ -118,7 +120,7 @@ def minhash_signatures(
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
-    """(doc, sig_idx, minhash): k derived min-hashes of the shingle set.
+    """(doc, sig array<long>): k derived min-hashes of the shingle set.
 
     Computed as ONE aggregation: explode shingles, build the k-vector of
     double-hashed values per shingle JVM-side, per-element min across the
@@ -130,15 +132,12 @@ def minhash_signatures(
     h1 = h60("sh")
     h2 = h60("sh", seed="mh2") % MH_H2_MOD
     vec = F.array(*[(h1 + F.lit(j) * h2) % MH_MOD for j in range(k)])
-    per_doc = (
+    return (
         sh.select("doc", vec.alias("hv"))
         .groupBy("doc")
         .agg(
             F.array(*[F.min(F.element_at("hv", j + 1)) for j in range(k)]).alias("sig")
         )
-    )
-    return per_doc.select(
-        "doc", F.posexplode("sig").alias("sig_idx", "minhash")
     )
 
 
@@ -153,25 +152,28 @@ def minhash_lsh_pairs(
 ) -> DataFrame:
     """MinHash+LSH candidates, then exact-Jaccard verified.
 
-    band bucket key = (band_idx, hash of the band's minhash row vector);
-    docs sharing any bucket become candidates. Verification recomputes true
-    shingle Jaccard only for candidates — the classic
-    shingle→minhash→band→bucket-join pipeline.
+    band bucket key = (band_idx, the band's minhash sub-vector itself — an
+    array<long> equality join key, no explode/regroup round-trip and no
+    string materialization); docs sharing any bucket become candidates.
+    Verification recomputes true shingle Jaccard only for candidates — the
+    classic shingle→minhash→band→bucket-join pipeline.
     """
     sigs = minhash_signatures(docs, k, shingle_k, id_col, text_col)
-    bands = (
-        sigs.withColumn("band", F.floor(F.col("sig_idx") / band_rows).cast("int"))
-        .groupBy("doc", "band")
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.sort_array(F.collect_list(F.struct("sig_idx", "minhash"))),
-                    lambda x: x["minhash"].cast("string"),
-                ),
-                ":",
-            ).alias("bucket")
-        )
-    )
+    n_bands = k // band_rows
+    bands = sigs.select(
+        "doc",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.slice("sig", b * band_rows + 1, band_rows).alias("bucket"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc", "bk.band", "bk.bucket")
     cand = (
         bands.alias("l")
         .join(bands.alias("r"), ["band", "bucket"])
@@ -276,22 +278,23 @@ def simhash_pairs(
             )
         ).alias("bk"),
     ).select("doc", "simhash", "bk.band", "bk.key")
-    cand = (
+    # hamming filter BEFORE the distinct: the post-join filter runs inside
+    # the join stage (no extra shuffle), so the distinct only shuffles the
+    # surviving (a, b, hamming) triples — not every banded candidate with
+    # both 64-bit fingerprints in tow
+    return (
         banded.alias("l")
         .join(banded.alias("r"), ["band", "key"])
         .filter(F.col("l.doc") < F.col("r.doc"))
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("l.simhash").bitwiseXOR(F.col("r.simhash"))),
+        )
+        .filter(F.col("hamming") <= max_hamming)
         .select(
             F.col("l.doc").alias("a"),
             F.col("r.doc").alias("b"),
-            F.col("l.simhash").alias("ha"),
-            F.col("r.simhash").alias("hb"),
+            "hamming",
         )
         .distinct()
-    )
-    return (
-        cand.withColumn(
-            "hamming", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
-        )
-        .filter(F.col("hamming") <= max_hamming)
-        .select("a", "b", "hamming")
     )

@@ -139,7 +139,7 @@ def _plane_matrix(dims: int, n_planes: int = N_PLANES) -> np.ndarray:
     return w
 
 
-def _signature_kernel(n_planes: int, vec_type):
+def _signature_kernel(n_planes: int, vec_type, expect_dims: int | None = None):
     out_schema = StructType(
         [
             StructField("id", LongType()),
@@ -154,6 +154,12 @@ def _signature_kernel(n_planes: int, vec_type):
             if not len(pdf):
                 continue
             v = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+            if expect_dims is not None and v.shape[1] != expect_dims:
+                # loud failure instead of a silent oracle disagreement when
+                # a caller fixed the plane literals to a dimensionality
+                raise ValueError(
+                    f"embedding dims {v.shape[1]} != expected {expect_dims}"
+                )
             if W is None:
                 W = _plane_matrix(v.shape[1], n_planes)
             # sequential fold over dims (matches list_dot_product order),
@@ -175,13 +181,14 @@ def hyperplane_signatures(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_planes: int = N_PLANES,
+    expect_dims: int | None = None,
 ) -> DataFrame:
     """(id, v, sig): deterministic random-hyperplane signature per vector.
 
     The vector rides through the Arrow batch (lossless float pass-through)
     so no self-join is needed to reunite signature and embedding."""
     vec_type = df.schema[vec_col].dataType
-    run, schema = _signature_kernel(n_planes, vec_type)
+    run, schema = _signature_kernel(n_planes, vec_type, expect_dims)
     return df.select(
         F.col(id_col).cast("long").alias("id"), F.col(vec_col).alias("v")
     ).mapInPandas(run, schema=schema)
@@ -194,6 +201,7 @@ def embedding_dup_pairs(
     vec_col: str = "embedding",
     n_planes: int = N_PLANES,
     bands: int = PLANE_BANDS,
+    expect_dims: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (a < b, sim >= threshold).
 
@@ -203,7 +211,7 @@ def embedding_dup_pairs(
     |corpus|² scoring.
     """
     bw = n_planes // bands
-    sigs = hyperplane_signatures(corpus, id_col, vec_col, n_planes)
+    sigs = hyperplane_signatures(corpus, id_col, vec_col, n_planes, expect_dims)
     banded = sigs.select(
         "id",
         "v",
@@ -251,13 +259,14 @@ def knn_lsh(
     vec_col: str = "embedding",
     n_planes: int = N_PLANES,
     bands: int = PLANE_BANDS,
+    expect_dims: int | None = None,
 ) -> DataFrame:
     """LSH-bucketed approximate top-k: candidates share at least one exact
     signature band with the query; exact cosine re-ranks candidates."""
     bw = n_planes // bands
 
     def banded(df: DataFrame, id_alias: str, vec_alias: str) -> DataFrame:
-        withv = hyperplane_signatures(df, id_col, vec_col, n_planes)
+        withv = hyperplane_signatures(df, id_col, vec_col, n_planes, expect_dims)
         return withv.select(
             F.col("id").alias(id_alias),
             F.col("v").alias(vec_alias),
