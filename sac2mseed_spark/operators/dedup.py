@@ -228,19 +228,21 @@ def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
     nbits = SIMHASH_BITS
 
     def kernel(batches):
-        shifts = np.arange(nbits, dtype=np.int64)
         for pdf in batches:
             if not len(pdf):
                 continue
             arrs = pdf["ths"].to_numpy()
             lens = np.fromiter((len(a) for a in arrs), dtype=np.int64, count=len(arrs))
             flat = np.concatenate(arrs).astype(np.int64)
-            # (+1/-1) per bit, summed per doc: 2*popcount_sum - n
-            bits = ((flat[:, None] >> shifts[None, :]) & 1).astype(np.int64)
             starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
-            ones = np.add.reduceat(bits, starts, axis=0)
-            signed = 2 * ones - lens[:, None]
-            fp = ((signed > 0).astype(np.int64) << shifts[None, :]).sum(axis=1)
+            # (+1/-1) per bit, summed per doc: 2*popcount_sum - n. One flat
+            # 1-D pass per bit — np.add.reduceat along axis 0 of a 2-D
+            # (tokens x bits) array is strided and ~20x slower than these
+            # nbits contiguous reduceats
+            fp = np.zeros(len(arrs), dtype=np.int64)
+            for b in range(nbits):
+                ones_b = np.add.reduceat((flat >> b) & 1, starts)
+                fp |= ((2 * ones_b - lens) > 0).astype(np.int64) << b
             yield pd.DataFrame({id_col: pdf["doc"].to_numpy(np.int64), "simhash": fp})
 
     return grouped.mapInPandas(kernel, schema=schema)

@@ -81,19 +81,35 @@ def _seq_dot(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     return acc
 
 
-def _cosine_pairs_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    for pdf in batches:
-        if not len(pdf):
+def _list_matrix(col) -> np.ndarray:
+    """(N, d) float64 matrix from an Arrow list<float> column — flat value
+    buffer reshape, no per-row numpy objects."""
+    n = len(col)
+    flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    if n == 0 or len(flat) % n:
+        raise ValueError("ragged embedding column")
+    return flat.reshape(n, len(flat) // n)
+
+
+def _cosine_pairs_arrow(batches) -> Iterator:
+    """Score (query, neighbor) vector pairs: one reshape per Arrow batch +
+    a sequential per-dimension fold (bit-exact to list_dot_product)."""
+    import pyarrow as pa
+
+    for rb in batches:
+        if rb.num_rows == 0:
             continue
-        q = np.stack(pdf["qv"].to_numpy()).astype(np.float64)
-        c = np.stack(pdf["cv"].to_numpy()).astype(np.float64)
+        names = rb.schema.names
+        q = _list_matrix(rb.column(names.index("qv")))
+        c = _list_matrix(rb.column(names.index("cv")))
         sim = _seq_dot(q, c) / (np.sqrt(_seq_dot(q, q)) * np.sqrt(_seq_dot(c, c)))
-        yield pd.DataFrame(
-            {
-                "query_id": pdf["query_id"].to_numpy(np.int64),
-                "neighbor_id": pdf["neighbor_id"].to_numpy(np.int64),
-                "sim": sim,
-            }
+        yield pa.RecordBatch.from_arrays(
+            [
+                rb.column(names.index("query_id")).cast(pa.int64()),
+                rb.column(names.index("neighbor_id")).cast(pa.int64()),
+                pa.array(sim),
+            ],
+            names=["query_id", "neighbor_id", "sim"],
         )
 
 
@@ -122,8 +138,8 @@ def knn_bruteforce(
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
     c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
     pairs = c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
-    scored = pairs.select("query_id", "neighbor_id", "qv", "cv").mapInPandas(
-        _cosine_pairs_kernel, schema=_PAIR_SCHEMA
+    scored = pairs.select("query_id", "neighbor_id", "qv", "cv").mapInArrow(
+        _cosine_pairs_arrow, schema=_PAIR_SCHEMA
     )
     return _rank_topk(scored.withColumn("sim", F.round("sim", 6)), k)
 
@@ -241,7 +257,7 @@ def embedding_dup_pairs(
         )
         .distinct()
     )
-    scored = cand.mapInPandas(_cosine_pairs_kernel, schema=_PAIR_SCHEMA)
+    scored = cand.mapInArrow(_cosine_pairs_arrow, schema=_PAIR_SCHEMA)
     return (
         scored.withColumn("sim", F.round("sim", 6))
         .filter(F.col("sim") >= threshold)
@@ -293,5 +309,5 @@ def knn_lsh(
         .select("query_id", "qv", "neighbor_id", "cv")
         .distinct()
     )
-    scored = cand.mapInPandas(_cosine_pairs_kernel, schema=_PAIR_SCHEMA)
+    scored = cand.mapInArrow(_cosine_pairs_arrow, schema=_PAIR_SCHEMA)
     return _rank_topk(scored.withColumn("sim", F.round("sim", 6)), k)
