@@ -299,6 +299,27 @@ def pack_tier(
     return packed.withColumn("tier", F.lit(tier))
 
 
+def pack_tier_adaptive(
+    metrics: DataFrame,
+    tier: str,
+    hot_rows: int = 2_000_000,
+    sample_frac: float = 0.01,
+) -> DataFrame:
+    """Sampled heavy-hitter probe chooses the physical pack plan.
+
+    Default: the flat single-pass plan. If any conv_id's estimated row
+    count exceeds ``hot_rows`` (a window group too big for one task's
+    memory), route through the chunk-salted two-phase plan instead — the
+    AQE-style runtime decision, paid as one cheap sampled count at plan
+    time. Payload bytes are IDENTICAL either way because chunk boundaries
+    are pure functions of turn_idx (operators/skew.py contract;
+    tests/test_pack_spark.py asserts)."""
+    from .skew import heavy_hitters
+
+    hot = heavy_hitters(metrics, ["conv_id"], hot_rows, sample_frac)
+    return pack_tier(metrics, tier, salted=bool(hot.take(1)))
+
+
 # ----------------------------------------------------------------------
 # salted path (explicit skew splitting for pathologically hot windows)
 # ----------------------------------------------------------------------

@@ -1,7 +1,12 @@
-"""Skew handling: deterministic sub-window chunking + salted repartition.
+"""Skew handling: deterministic sub-window chunking + adaptive plan choice.
 
 North-rule requirement: salted repartitioning on (conv_id, epoch_bucket)
-with explicit skew splitting for hot conversations.
+with explicit skew splitting for hot conversations. Here the salt IS the
+chunk_id: grouping on (conv_id, window, chunk_id) hash-spreads one hot
+conversation's rows across reducers, and because chunk_id is a pure
+function of turn_idx the re-assembled payload is bit-identical at any
+parallelism. heavy_hitters() supplies the sampled statistics that decide
+WHEN to pay the two-phase salted plan (pack.py pack_tier_adaptive).
 
 Design (SURVEY.md §4.1): the packed payload is a sequence of self-contained
 *chunks* (the Steim-frame analogue — each 64-byte Steim frame re-anchors at
@@ -34,18 +39,16 @@ def with_chunk_id(df: DataFrame, turn_idx_col: str = "turn_idx") -> DataFrame:
     )
 
 
-def salted(df: DataFrame, keys: list[str], n_salt: int = 64) -> DataFrame:
-    """Attach a salt derived from the full grouping key set + chunk_id so
-    hot keys spread over ``n_salt`` reducers."""
-    return df.withColumn("salt", F.pmod(F.xxhash64(*[F.col(k) for k in keys]), F.lit(n_salt)))
-
-
 def heavy_hitters(df: DataFrame, keys: list[str], threshold: int, sample_frac: float = 0.01) -> DataFrame:
-    """Sampled heavy-hitter detection for adaptive salting decisions.
+    """Sampled heavy-hitter detection driving the adaptive pack-plan choice
+    (operators/pack.py pack_tier_adaptive).
 
     At 100 TB a full count per key is itself a shuffle of the full data; a
     1% Bernoulli sample bounds the planning cost, mirroring how AQE sizes
-    skew splits from map output statistics.
+    skew splits from map output statistics. The skew *split* itself is the
+    deterministic chunk_id (above) — grouping on (keys…, chunk_id) is what
+    spreads a hot key across reducers, salting-by-construction with
+    bit-identical output at any parallelism.
     """
     est = (
         df.sample(fraction=sample_frac, seed=42)

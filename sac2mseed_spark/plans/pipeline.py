@@ -126,7 +126,7 @@ class IncrementalRollup:
         p = os.path.join(self.work_dir, "metrics")
         if not os.path.isdir(p) or not os.listdir(p):
             return None
-        return self.spark.read.parquet(p)
+        return self.spark.read.parquet(os.path.join(p, "snap_*"))
 
     # -- processing -----------------------------------------------------
     def process_pending(self) -> int:
@@ -208,4 +208,10 @@ class IncrementalRollup:
             "run_id string, snapshot_id int, tier string, n_windows long,"
             " n_points long, lineage string, wall_s double",
         )
-        metrics_df.write.mode("append").parquet(os.path.join(self.work_dir, "metrics"))
+        # keyed-by-snapshot OVERWRITE, not a blind append: a crash between
+        # this write and the checkpoint commit makes the rerun rewrite the
+        # same directory instead of double-appending the snapshot's rows —
+        # metrics share the tier tables' replay-idempotence guarantee
+        metrics_df.write.mode("overwrite").parquet(
+            os.path.join(self.work_dir, "metrics", f"snap_{snap_id:08d}")
+        )

@@ -72,6 +72,11 @@ def test_resume_after_partial_failure(spark, snapshots, tmp_path):
     got = _tiers_as_dict(inc.tier("1h"))
     want = _tiers_as_dict(rollup_from_turns(full_m, "1h"))
     assert got == want
+    # metrics are replay-idempotent too: exactly one row per
+    # (snapshot, tier) even though snapshot 2 ran twice
+    mrows = inc.metrics_table().collect()
+    keys = [(r["snapshot_id"], r["tier"]) for r in mrows]
+    assert len(keys) == len(set(keys)) == 9
 
 
 def test_noop_when_caught_up(spark, snapshots, tmp_path):

@@ -146,6 +146,37 @@ def test_hot_conversation_salted_equals_flat(spark):
     assert any(v[2] > 1 for v in flat.values())  # hot windows really split
 
 
+def test_adaptive_pack_engages_salted_on_hot_keys(spark):
+    """pack_tier_adaptive's sampled heavy-hitter probe: picks the salted
+    plan on the Zipf-head fixture, the flat plan on a uniform one, and the
+    salted decision changes nothing about the bytes."""
+    from sac2mseed_spark.operators.pack import pack_tier_adaptive
+    from sac2mseed_spark.operators.skew import heavy_hitters
+
+    m_hot = derive_turn_metrics(generate_transcripts(spark, "t_hot", seed=42))
+    m_hot = m_hot.filter(F.col("conv_id") < "conv_00000020").cache()
+    hot = heavy_hitters(m_hot, ["conv_id"], threshold=50_000, sample_frac=0.05)
+    hot_keys = {r["conv_id"] for r in hot.collect()}
+    # the 3 Zipf-head conversations (100k turns each) and nothing else
+    assert hot_keys == {"conv_00000000", "conv_00000001", "conv_00000002"}
+
+    adaptive = {
+        (r["conv_id"], r["window_start_us"]): (r["crc32"], r["n_points"])
+        for r in pack_tier_adaptive(m_hot, "1d", hot_rows=50_000, sample_frac=0.05).collect()
+    }
+    flat = {
+        (r["conv_id"], r["window_start_us"]): (r["crc32"], r["n_points"])
+        for r in pack_tier(m_hot, "1d").collect()
+    }
+    assert adaptive == flat
+    m_hot.unpersist()
+
+    # uniform fixture: no heavy hitters -> flat plan chosen (no error path)
+    m_uni = derive_turn_metrics(generate_transcripts(spark, "t_small", seed=42))
+    assert not heavy_hitters(m_uni, ["conv_id"], threshold=50_000, sample_frac=0.5).take(1)
+    assert pack_tier_adaptive(m_uni, "1h", hot_rows=50_000).count() > 0
+
+
 def test_payload_decodes_with_oracle(spark, packed_1m):
     _, packed = packed_1m
     row = packed.orderBy("conv_id", "window_start_us").first()

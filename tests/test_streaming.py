@@ -119,6 +119,61 @@ def test_stateful_metrics_carry_latency_across_batches(spark, stream_setup, tmp_
     assert got == want
 
 
+def test_stream_kill_resume_more_data_no_dup_no_drop(spark, tmp_path):
+    """Full kill/resume E2E: run the tier sink over partial input, stop the
+    query, append more data, restart on the SAME checkpoint — the final
+    tier equals a batch recompute over everything, no window duplicated or
+    dropped (fpos resume, fileutils.c:367-384).
+
+    The input is split by EVENT TIME (not row id): everything the resumed
+    run delivers is newer than the checkpointed watermark, so windows
+    straddling the split keep their partial aggregation state across the
+    stop/start and complete correctly on resume."""
+    t = generate_transcripts(spark, "t_small", seed=42)
+    src = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    schema = t.schema
+    cutoff = t.selectExpr("percentile(cast(ts as double), 0.5)").collect()[0][0]
+
+    # phase 1: only events before the cutoff exist; run to completion, STOP
+    t.filter(F.col("ts").cast("double") < cutoff).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(src)
+    s1 = spark.readStream.schema(schema).parquet(src)
+    tier_sink(stream_rollup(stream_turn_metrics(s1), "1m"), out, ckpt).awaitTermination(120)
+    n_phase1 = spark.read.parquet(out).count()
+
+    # phase 2: the rest + a far-future watermark pusher arrive
+    t.filter(F.col("ts").cast("double") >= cutoff).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    far = t.agg(F.max("ts")).collect()[0][0]
+    spark.createDataFrame(
+        [(SENTINEL, 0, "user", "x", None, far)], schema=schema
+    ).withColumn("ts", F.col("ts") + F.expr("INTERVAL 30 DAYS")).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    # restart from the same checkpoint: only the new files are read
+    s2 = spark.readStream.schema(schema).parquet(src)
+    tier_sink(stream_rollup(stream_turn_metrics(s2), "1m"), out, ckpt).awaitTermination(120)
+
+    got = spark.read.parquet(out).filter(F.col("conv_id") != SENTINEL)
+    rows = got.collect()
+    assert n_phase1 > 0 and len(rows) > n_phase1  # both runs really emitted
+    keys = [(r["conv_id"], r["window_start_us"]) for r in rows]
+    assert len(keys) == len(set(keys)), "duplicate windows after resume"
+    cols = ["conv_id", "window_start_us", "n_points", "sum_tokens",
+            "min_ts_us", "max_ts_us"]
+    want = {
+        tuple(r)
+        for r in rollup_from_turns(derive_turn_metrics(t), "1m").select(*cols).collect()
+    }
+    g = {tuple(r) for r in got.select(*cols).collect()}
+    assert g == want
+
+
 def test_stream_checkpoint_resume_no_duplicates(spark, stream_setup, tmp_path):
     """Restarting from the same checkpoint with no new data emits nothing
     new (offset log = fpos analogue)."""
