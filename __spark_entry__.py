@@ -39,7 +39,12 @@ from sac2mseed_spark.functions.selections import (
 )
 from sac2mseed_spark.operators.gapfill import gap_fill
 from sac2mseed_spark.operators.gaps import gap_report
-from sac2mseed_spark.operators.pack import pack_tier, unpack_tier
+from sac2mseed_spark.operators.pack import (
+    pack_tier,
+    read_tier_selection,
+    repack_tier,
+    unpack_tier,
+)
 from sac2mseed_spark.operators.rollup import (
     rollup_cascade,
     rollup_from_turns,
@@ -283,6 +288,31 @@ def q_roundtrip_1m(spark, sf_dir):
     )
 
 
+def q_tier_read_1m(spark, sf_dir):
+    # ms_readtraces_selection path (SURVEY §3.2): selections prune whole
+    # blobs on the packed table before any decode, then exact point filter
+    packed = pack_tier(_metrics(spark, sf_dir), "1m")
+    pts = read_tier_selection(packed, SEL_GLOB)
+    lat = F.col("latency_us_f")
+    return pts.select(
+        "conv_id",
+        "ts_us",
+        F.when(F.isnan(lat), None).otherwise(lat).alias("latency_us"),
+        F.col("token_count_f").alias("token_count"),
+    )
+
+
+def q_repack_1h(spark, sf_dir):
+    # msrepack path (SURVEY §3.3): 1m payloads decoded and re-encoded at
+    # 1h without touching the raw table; stats checked against raw SQL
+    packed_1m = pack_tier(_metrics(spark, sf_dir), "1m")
+    re1h = repack_tier(packed_1m, "1h")
+    return re1h.select(
+        "conv_id", "window_start_us", "n_points", "n_chunks",
+        "first_ts_us", "last_ts_us",
+    )
+
+
 def q_time_functions(spark, sf_dir):
     # calendar/time conversions (ms_hptime2isotimestr / ms_doy2md family,
     # genutils.c:331-430, 625-666): epoch-us <-> calendar fields round-trip,
@@ -409,6 +439,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "autoscale": q_autoscale,
         "pack_stats_1m": q_pack_stats_1m,
         "roundtrip_1m": q_roundtrip_1m,
+        "tier_read_1m": q_tier_read_1m,
+        "repack_1h": q_repack_1h,
         "time_functions": q_time_functions,
         "conv_summary": q_conv_summary,
         "validation_report": q_validation_report,
@@ -905,6 +937,26 @@ FROM m""",
 SELECT conv_id, ts_us, CAST(latency_us AS DOUBLE) AS latency_us,
        CAST(token_count AS DOUBLE) AS token_count
 FROM m""",
+        "tier_read_1m": f"""{_ORACLE_PREFIX}
+SELECT conv_id, ts_us, CAST(latency_us AS DOUBLE) AS latency_us,
+       CAST(token_count AS DOUBLE) AS token_count
+FROM m WHERE {selections_sql(SEL_GLOB)}""",
+        "repack_1h": f"""{_ORACLE_PREFIX},
+rn AS (
+  SELECT conv_id, ts_us,
+         row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx, ts_us) - 1
+           AS pos
+  FROM m
+)
+SELECT conv_id,
+       CAST(floor(ts_us / {_TIER_US['1h']}.0) AS BIGINT) * {_TIER_US['1h']}
+         AS window_start_us,
+       count(*) AS n_points,
+       CAST(count(DISTINCT CAST(floor(pos / 4096.0) AS INTEGER)) AS INTEGER)
+         AS n_chunks,
+       min(ts_us) AS first_ts_us,
+       max(ts_us) AS last_ts_us
+FROM rn GROUP BY 1, 2""",
         "time_functions": f"""
 WITH transcripts AS ({TRANSCRIPTS_FROM_EVENTS_SQL})
 SELECT conv_id, turn_idx,

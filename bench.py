@@ -21,8 +21,15 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from pyspark.sql import functions as F  # noqa: E402
 
 import __spark_entry__ as E  # noqa: E402
-from sac2mseed_spark.functions.metrics import derive_turn_metrics  # noqa: E402
-from sac2mseed_spark.operators.pack import pack_tier  # noqa: E402
+from sac2mseed_spark.functions.metrics import (  # noqa: E402
+    derive_turn_metrics,
+    slim_metrics,
+)
+from sac2mseed_spark.operators.pack import (  # noqa: E402
+    pack_tier,
+    repack_tier,
+    unpack_tier,
+)
 from sac2mseed_spark.operators.rollup import rollup_cascade  # noqa: E402
 from sac2mseed_spark.session import get_spark  # noqa: E402
 from sac2mseed_spark.sources.transcripts import generate_transcripts  # noqa: E402
@@ -55,7 +62,7 @@ def main():
 
     # ---- headline: synthetic cascade + pack (rolled-up points/sec) ----
     t = generate_transcripts(spark, "t_bench", seed=42)
-    m = derive_turn_metrics(t).persist()
+    m = slim_metrics(derive_turn_metrics(t)).persist()
     n_turns = m.count()  # materializes the persist; excluded from timing of tiers
 
     def run_cascade():
@@ -71,7 +78,14 @@ def main():
     rolled_points = (
         tiers["1m"].count() + tiers["1h"].count() + tiers["1d"].count()
     )
-    queries["synth_pack_1m"] = timed(lambda: force(pack_tier(m, "1m")))
+    queries["synth_pack_1m"] = timed(
+        lambda: force(pack_tier(m, "1m", clustered_by_conv=True))
+    )
+    packed_1m = pack_tier(m, "1m", clustered_by_conv=True).persist()
+    packed_1m.count()  # materialize so the unpack timing is decode-only
+    queries["synth_unpack_1m"] = timed(lambda: force(unpack_tier(packed_1m)))
+    queries["synth_repack_1h"] = timed(lambda: force(repack_tier(packed_1m, "1h")))
+    packed_1m.unpersist()
     # compression measured at 1h (1m windows on this fixture hold ~4 points,
     # so fixed headers dominate there — same physics as short miniSEED
     # records); raw point = 8B ts + 8B per value stream (2 streams)

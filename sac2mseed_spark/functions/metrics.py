@@ -48,12 +48,29 @@ def derive_turn_metrics(transcripts: DataFrame) -> DataFrame:
 
     latency_us is NULL for each conversation's first turn (no predecessor),
     mirroring the reference's "no gap before the first record".
+
+    The stateless metrics (token_count, text_len) are computed BEFORE the
+    lag window on purpose: a downstream projection that drops ``text`` then
+    prunes it below the window's conv_id exchange, so the shuffle carries
+    ~60 B/turn of metrics instead of the full text bytes — at 100 TB the
+    text column is ~3x everything else combined (see slim_metrics).
     """
     w = turn_window()
     ts_us = ts_us_col("ts")
     return (
         transcripts.withColumn("ts_us", ts_us)
-        .withColumn("latency_us", F.col("ts_us") - F.lag("ts_us").over(w))
         .withColumn("token_count", token_count_col().cast("long"))
         .withColumn("text_len", F.length("text").cast("long"))
+        .withColumn("latency_us", F.col("ts_us") - F.lag("ts_us").over(w))
     )
+
+
+# The columns every tier/pack consumer actually reads.
+SLIM_COLS = ["conv_id", "turn_idx", "ts_us", "latency_us", "token_count"]
+
+
+def slim_metrics(metrics: DataFrame) -> DataFrame:
+    """Drop text/role/tool before any persist or exchange. Catalyst prunes
+    columns automatically in a lazy plan; an explicit projection matters
+    the moment the caller persists (cache materializes every column)."""
+    return metrics.select(*SLIM_COLS)

@@ -445,6 +445,10 @@ _POINT_SCHEMA = StructType(
     + [StructField(f"{s}_f", DoubleType()) for s in STREAMS]
 )
 
+_POINT_SCHEMA_POS = StructType(
+    _POINT_SCHEMA.fields + [StructField("pos", LongType())]
+)
+
 
 def _binary_spans(col) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """(data, starts, ends) views of an Arrow Binary/LargeBinary array's
@@ -459,7 +463,7 @@ def _binary_spans(col) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     return data, off[:-1], off[1:]
 
 
-def _decode_partition_arrow(batches) -> "Iterator":
+def _decode_partition_arrow(batches, with_pos: bool = False) -> "Iterator":
     """Vectorized unpack of a whole Arrow batch of payload blobs: one
     decode_concat call per batch (codec/decode_vec.py wavefront kernel),
     output columns built from flat numpy arrays."""
@@ -481,25 +485,78 @@ def _decode_partition_arrow(batches) -> "Iterator":
         conv_out = rb.column(names.index("conv_id")).take(pa.array(idx))
         ws_out = rb.column(names.index("window_start_us")).to_numpy()[idx]
         arrays = [conv_out, pa.array(ws_out), pa.array(ts_out)]
+        out_names = ["conv_id", "window_start_us", "ts_us"]
         for s in streams:
             arrays.append(pa.array(s.view(np.float64)))
-        yield pa.RecordBatch.from_arrays(
-            arrays,
-            names=["conv_id", "window_start_us", "ts_us"]
-            + [f"{s}_f" for s in STREAMS],
-        )
+        out_names += [f"{s}_f" for s in STREAMS]
+        if with_pos:
+            pos = np.arange(len(ts_out)) - np.repeat(point_off[:-1], blob_pts)
+            arrays.append(pa.array(pos))
+            out_names.append("pos")
+        yield pa.RecordBatch.from_arrays(arrays, names=out_names)
 
 
-def unpack_tier(packed: DataFrame) -> DataFrame:
+def unpack_tier(packed: DataFrame, with_pos: bool = False) -> DataFrame:
     """Inverse of pack_tier: explode blobs back into per-point rows with the
     Xn integrity check (unpackdata.c:556-561 analogue) enforced per window.
 
     The read side is as first-class as the write side (the reference's
     unpack suite is larger than its pack suite, libmseed/unpackdata.c):
     one mapInArrow pass, whole-batch numpy wavefront decode, zero per-point
-    Python."""
+    Python. ``with_pos=True`` also emits each point's index within its
+    blob — the deterministic intra-window order repack relies on."""
     cols = ["conv_id", "window_start_us", "payload", "xn"]
-    return packed.select(*cols).mapInArrow(_decode_partition_arrow, schema=_POINT_SCHEMA)
+    schema = _POINT_SCHEMA_POS if with_pos else _POINT_SCHEMA
+    return packed.select(*cols).mapInArrow(
+        lambda batches: _decode_partition_arrow(batches, with_pos), schema=schema
+    )
+
+
+def read_tier_selection(
+    packed: DataFrame,
+    selections: list[tuple[str, int | None, int | None]],
+) -> DataFrame:
+    """SURVEY §3.2 read path (ms_readtraces_selection, fileutils.c:779):
+    selections applied to the PACKED tier table first — the conv glob plus
+    a coarse [first_ts_us, last_ts_us] overlap predicate prune whole blobs
+    at the scan (the parse-with-selection short-circuit, fileutils.c:
+    805-818) — then only surviving blobs are decoded, then the exact
+    per-point time filter runs on the decoded rows."""
+    from ..functions.selections import apply_selections, glob_match
+
+    pred = None
+    for glob, lo, hi in selections:
+        p = glob_match("conv_id", glob)
+        if lo is not None:
+            p = p & (F.col("last_ts_us") >= F.lit(lo))
+        if hi is not None:
+            p = p & (F.col("first_ts_us") <= F.lit(hi))
+        pred = p if pred is None else pred | p
+    coarse = packed.filter(pred) if pred is not None else packed
+    return apply_selections(unpack_tier(coarse), selections)
+
+
+def repack_tier(packed: DataFrame, to_tier: str) -> DataFrame:
+    """msrepack analogue (example/msrepack.c:49; SURVEY §3.3): decode a
+    tier's payloads and re-encode at a coarser tier WITHOUT touching the
+    raw table — decode → re-window → encode, all vectorized.
+
+    Point order is reconstructed from (source window, position-in-blob),
+    which equals the original turn order, so for dense turn_idx the
+    repacked blobs are byte-identical to packing the coarser tier from raw
+    metrics (tests assert); values are identical always."""
+    from pyspark.sql import Window
+
+    pts = unpack_tier(packed, with_pos=True)
+    w = Window.partitionBy("conv_id").orderBy("window_start_us", "pos")
+    flat = pts.select(
+        "conv_id",
+        (F.row_number().over(w) - 1).cast("long").alias("turn_idx"),
+        "ts_us",
+        *[F.col(f"{s}_f").alias(s) for s in STREAMS],
+    )
+    # the row_number window already hash-partitioned on conv_id
+    return pack_tier(flat, to_tier, clustered_by_conv=True)
 
 
 def verify_continuity(packed: DataFrame) -> DataFrame:

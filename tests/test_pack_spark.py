@@ -146,6 +146,47 @@ def test_hot_conversation_salted_equals_flat(spark):
     assert any(v[2] > 1 for v in flat.values())  # hot windows really split
 
 
+def test_repack_equals_direct_pack(spark):
+    """msrepack analogue: 1m payloads decoded and re-encoded at 1h must be
+    byte-identical to packing 1h directly from raw metrics (dense turn_idx
+    fixture) — the decode→re-window→encode loop loses nothing."""
+    from sac2mseed_spark.operators.pack import repack_tier
+
+    m = derive_turn_metrics(generate_transcripts(spark, "t_gaps", seed=42))
+    direct = {
+        (r["conv_id"], r["window_start_us"]): (bytes(r["payload"]), r["crc32"])
+        for r in pack_tier(m, "1h").collect()
+    }
+    re1h = {
+        (r["conv_id"], r["window_start_us"]): (bytes(r["payload"]), r["crc32"])
+        for r in repack_tier(pack_tier(m, "1m"), "1h").collect()
+    }
+    assert re1h == direct
+
+
+def test_read_tier_selection_prunes_and_matches(spark):
+    """Selection read path: coarse blob pruning + exact point filter equals
+    filtering the raw metrics directly."""
+    from sac2mseed_spark.operators.pack import read_tier_selection
+
+    m = derive_turn_metrics(generate_transcripts(spark, "t_small", seed=42))
+    packed = pack_tier(m, "1m")
+    lo = m.agg(F.expr("percentile(ts_us, 0.25)")).collect()[0][0]
+    hi = m.agg(F.expr("percentile(ts_us, 0.75)")).collect()[0][0]
+    sels = [("conv_0000000[0-4]", int(lo), int(hi)), ("conv_0000001?", None, None)]
+    got = {
+        (r["conv_id"], r["ts_us"])
+        for r in read_tier_selection(packed, sels).collect()
+    }
+    from sac2mseed_spark.functions.selections import apply_selections
+
+    want = {
+        (r["conv_id"], r["ts_us"])
+        for r in apply_selections(m, sels).select("conv_id", "ts_us").collect()
+    }
+    assert got == want and got
+
+
 def test_adaptive_pack_engages_salted_on_hot_keys(spark):
     """pack_tier_adaptive's sampled heavy-hitter probe: picks the salted
     plan on the Zipf-head fixture, the flat plan on a uniform one, and the

@@ -35,23 +35,36 @@ FIXTURE = os.environ.get("SCALE_FIXTURE", "t_scale")
 
 
 def _pipeline_once(spark, conv_slice=None):
-    from sac2mseed_spark.functions.metrics import derive_turn_metrics
+    from sac2mseed_spark.functions.metrics import derive_turn_metrics, slim_metrics
     from sac2mseed_spark.operators.pack import pack_tier
-    from sac2mseed_spark.operators.rollup import rollup_cascade
+    from sac2mseed_spark.operators.rollup import rollup_from_tier, rollup_from_turns
     from sac2mseed_spark.sources.transcripts import generate_transcripts
 
     def force(df):
         df.write.format("noop").mode("overwrite").save()
 
-    m = derive_turn_metrics(
-        generate_transcripts(spark, FIXTURE, seed=42, parallelism=64, conv_slice=conv_slice)
+    # slim projection BEFORE the persist: the lag shuffle and the cache
+    # carry ~60 B/turn of metrics, not the text bytes (token_count is
+    # consumed map-side below the exchange — functions/metrics.py)
+    m = slim_metrics(
+        derive_turn_metrics(
+            generate_transcripts(
+                spark, FIXTURE, seed=42, parallelism=64, conv_slice=conv_slice
+            )
+        )
     ).persist()
     n_turns = m.count()
-    tiers = rollup_cascade(m)
-    t1m = tiers["1m"].persist()
-    force(t1m)
-    rolled = t1m.count() + tiers["1h"].count() + tiers["1d"].count()
-    force(pack_tier(m, "1m"))
+    # cascade with each tier read exactly once: 1m from raw, 1h from the
+    # persisted 1m, 1d from the persisted 1h — no recomputation
+    t1m = rollup_from_turns(m, "1m").persist()
+    rolled = t1m.count()
+    t1h = rollup_from_tier(t1m, "1h").persist()
+    rolled += t1h.count()
+    rolled += rollup_from_tier(t1h, "1d").count()
+    # m is already hash-partitioned on conv_id by the lag window -> the
+    # pack skips its repartition exchange entirely
+    force(pack_tier(m, "1m", clustered_by_conv=True))
+    t1h.unpersist()
     t1m.unpersist()
     m.unpersist()
     return n_turns, rolled
