@@ -133,19 +133,21 @@ def frame_sample(media: DataFrame, every_n: int = 8, fake_decode: bool = True) -
     """Frame sampling plumbing: one output row per sampled frame index.
 
     For videos the fake decoder reports n_frames; sampled indices are
-    0, every_n, 2*every_n, ... Real decoders substitute actual frame grabs
-    behind the same (media_id, frame_idx, frame BINARY) contract.
+    0, every_n, 2*every_n, ... The fake frame payload is a deterministic
+    function of (digest, frame_idx) — real decoders substitute actual
+    frame grabs behind the same (media_id, frame_idx, frame BINARY)
+    contract (the grab itself needs media libs absent from this sandbox).
     """
     feats = extract_features(media, fake_decode=fake_decode)
-    return (
-        feats.filter(F.col("kind") == "video")
-        .select(
-            "media_id",
-            F.explode(
-                F.sequence(
-                    F.lit(0), F.col("n_frames") - 1, F.lit(every_n)
-                )
-            ).alias("frame_idx"),
-        )
-        .withColumn("frame", F.lit(None).cast("binary"))  # stub: real grab here
+    frames = feats.filter(F.col("kind") == "video").select(
+        "media_id",
+        "digest",
+        F.explode(
+            F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(every_n))
+        ).alias("frame_idx"),
     )
+    fake_frame = F.encode(
+        F.concat(F.col("digest"), F.lit(":"), F.col("frame_idx").cast("string")),
+        "utf-8",
+    )
+    return frames.select("media_id", "frame_idx", fake_frame.alias("frame"))

@@ -45,3 +45,16 @@ def test_frame_sample_only_videos(spark, media):
 def test_real_decoder_is_stubbed():
     with pytest.raises(NotImplementedError):
         _decode_real(b"xx", "image")
+
+
+def test_frame_sample_emits_deterministic_frames(spark, media):
+    """Fake frame payloads are non-null, unique per (media, frame), and a
+    pure function of the payload digest — re-running yields identical
+    bytes (the contract a real grabber must also satisfy)."""
+    a = {(r["media_id"], r["frame_idx"]): bytes(r["frame"])
+         for r in frame_sample(media, every_n=4).collect()}
+    b = {(r["media_id"], r["frame_idx"]): bytes(r["frame"])
+         for r in frame_sample(media, every_n=4).collect()}
+    assert a == b and a
+    assert all(v for v in a.values())
+    assert len(set(a.values())) == len(a)
