@@ -74,9 +74,16 @@ def get_spark(
         # page-faulting fresh regions than it saves (measured: 48g heap ran
         # the same job 3x slower than 16g on this box).
         mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g")
+        jvm_opts = f"-Xms{mem} -XX:+AlwaysPreTouch"
+        # When the JVM is pinned to a core subset (emulated executors via
+        # taskset), it still sizes GC/JIT/fork-join pools for every CPU it
+        # can see — ~23 GC threads thrashing 4 cores. Let callers tell it
+        # the truth.
+        proc_count = os.environ.get("SPARK_GRAFT_PROC_COUNT")
+        if proc_count:
+            jvm_opts += f" -XX:ActiveProcessorCount={proc_count}"
         builder = builder.config("spark.driver.memory", mem).config(
-            "spark.driver.extraJavaOptions",
-            f"-Xms{mem} -XX:+AlwaysPreTouch",
+            "spark.driver.extraJavaOptions", jvm_opts
         )
     for k, v in ENGINE_CONFS.items():
         builder = builder.config(k, v)
