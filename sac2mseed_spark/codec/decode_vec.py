@@ -102,6 +102,11 @@ def _parse(data: np.ndarray, starts: np.ndarray, ends: np.ndarray):
         cur[act] = so
     if not np.array_equal(cur, ends):
         raise ValueError("trailing bytes in blob")
+    if (cn <= 0).any():
+        # a zero-point chunk would make its output offset collide with the
+        # next chunk's and silently clobber decoded values — fail loudly
+        # like every other header check
+        raise ValueError("chunk with non-positive point count")
     # header n_points must equal the chunk sum per blob
     csum = np.zeros(total_chunks + 1, np.int64)
     np.cumsum(cn, out=csum[1:])

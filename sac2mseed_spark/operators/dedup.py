@@ -30,11 +30,15 @@ from pyspark.sql import functions as F
 from ..functions.hashing import h60
 from ..functions.text import shingles, ws_tokens
 
+# MinHash: 16 hashes in 8 bands of 2 rows — band-collision probability
+# s^2 per band gives ~0.5 candidate recall at Jaccard 0.3 and ~0.98 at
+# 0.7, a good floor for the 0.5-0.8 thresholds used here; 16 (not 12)
+# keeps the verify set small on same-vocabulary corpora
 MINHASH_K = 16  # signature length
 MINHASH_BAND = 2  # rows per band -> 8 bands
-# 48 bits (not 64): stays positive in a signed BIGINT on both engines, and
-# 4x12-bit LSH bands keep candidate sets selective on same-vocabulary
-# corpora where narrow bands collide massively
+# SimHash: 48 bits (not 64) stays positive in a signed BIGINT on both
+# engines, and the 4x12-bit LSH bands (simhash_pairs) keep candidate sets
+# selective where narrow bands would collide massively
 SIMHASH_BITS = 48
 
 

@@ -102,8 +102,6 @@ def _field(name: str):
 
 _HEADER_LEN = 16  # MAGIC(2) + version(1) + n_streams(1) + n_chunks(4) + n_points(8)
 
-_ARROW_OUT_SCHEMA = None  # built lazily inside the worker
-
 
 def _ranges(starts: np.ndarray, lengths: np.ndarray) -> np.ndarray:
     """Concatenated [s, s+len) index ranges (the segmented-arange trick)."""
@@ -307,16 +305,21 @@ def pack_tier_adaptive(
 ) -> DataFrame:
     """Sampled heavy-hitter probe chooses the physical pack plan.
 
-    Default: the flat single-pass plan. If any conv_id's estimated row
-    count exceeds ``hot_rows`` (a window group too big for one task's
-    memory), route through the chunk-salted two-phase plan instead — the
-    AQE-style runtime decision, paid as one cheap sampled count at plan
-    time. Payload bytes are IDENTICAL either way because chunk boundaries
-    are pure functions of turn_idx (operators/skew.py contract;
-    tests/test_pack_spark.py asserts)."""
+    Default: the flat single-pass plan. If any single (conv_id, window)
+    group's estimated row count exceeds ``hot_rows`` (a group too big for
+    one task's memory), route through the chunk-salted two-phase plan
+    instead — the AQE-style runtime decision, paid as one cheap sampled
+    count at plan time. The probe keys on the actual pack grouping key,
+    not conv_id totals, so a long-lived conversation spread across many
+    small windows does not trip it. Payload bytes are IDENTICAL either
+    way because chunk boundaries are pure functions of turn_idx
+    (operators/skew.py contract; tests/test_pack_spark.py asserts)."""
     from .skew import heavy_hitters
 
-    hot = heavy_hitters(metrics, ["conv_id"], hot_rows, sample_frac)
+    probe = metrics.select(
+        "conv_id", window_start_col(F.col("ts_us"), tier).alias("window_start_us")
+    )
+    hot = heavy_hitters(probe, ["conv_id", "window_start_us"], hot_rows, sample_frac)
     return pack_tier(metrics, tier, salted=bool(hot.take(1)))
 
 
@@ -542,9 +545,14 @@ def repack_tier(packed: DataFrame, to_tier: str) -> DataFrame:
     raw table — decode → re-window → encode, all vectorized.
 
     Point order is reconstructed from (source window, position-in-blob),
-    which equals the original turn order, so for dense turn_idx the
-    repacked blobs are byte-identical to packing the coarser tier from raw
-    metrics (tests assert); values are identical always."""
+    which equals the original turn order only when ts_us is monotone
+    w.r.t. turn_idx within each conversation (windows are time-ordered,
+    so an out-of-order timestamp re-sorts points across windows). Under
+    that precondition AND dense turn_idx, repacked blobs are
+    byte-identical to packing the coarser tier from raw metrics (tests
+    assert); with sparse turn_idx or out-of-order timestamps the decoded
+    VALUES are still identical but chunk boundaries (hence bytes) may
+    diverge from a direct pack."""
     from pyspark.sql import Window
 
     pts = unpack_tier(packed, with_pos=True)

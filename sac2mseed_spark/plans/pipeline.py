@@ -124,7 +124,10 @@ class IncrementalRollup:
 
     def metrics_table(self) -> DataFrame | None:
         p = os.path.join(self.work_dir, "metrics")
-        if not os.path.isdir(p) or not os.listdir(p):
+        if not os.path.isdir(p):
+            return None
+        snaps = [n for n in os.listdir(p) if n.startswith("snap_")]
+        if not snaps:  # empty dir or stray non-snapshot files
             return None
         return self.spark.read.parquet(os.path.join(p, "snap_*"))
 

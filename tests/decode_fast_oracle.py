@@ -1,4 +1,7 @@
-"""Fast chunk decoder — word-streaming bit reads.
+"""Fast chunk decoder — word-streaming bit reads (test-only parity oracle).
+
+Superseded in production by codec/decode_vec.py; kept under tests/ as a
+second independent decoder implementation for byte/value parity checks.
 
 Same algorithm as codec/oracle.py's decoder (prefix-sum reconstruction,
 Xn verify — unpackdata.c:294-310, 556-561 analogues) but the bit reader
@@ -14,8 +17,8 @@ import struct
 
 import numpy as np
 
-from . import DOD_BUCKETS, GOR_LZ_BITS, GOR_MLEN_BITS
-from .oracle import iter_chunks
+from sac2mseed_spark.codec import DOD_BUCKETS, GOR_LZ_BITS, GOR_MLEN_BITS
+from sac2mseed_spark.codec.oracle import iter_chunks
 
 _M64 = (1 << 64) - 1
 

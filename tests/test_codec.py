@@ -130,7 +130,7 @@ def test_vectorized_multi_stream():
 
 @pytest.mark.parametrize("name", sorted(SERIES))
 def test_fast_decoder_matches_oracle(name):
-    from sac2mseed_spark.codec.decode_fast import decode_blob_fast
+    from decode_fast_oracle import decode_blob_fast
 
     ts, vals = SERIES[name]
     vb = _bits(vals)
@@ -211,7 +211,7 @@ def test_vec_decoder_xn_check():
 
 
 def test_fast_decoder_xn_check():
-    from sac2mseed_spark.codec.decode_fast import decode_blob_fast
+    from decode_fast_oracle import decode_blob_fast
 
     ts, vals = SERIES["const_rate/int_like"]
     vb = _bits(vals)
