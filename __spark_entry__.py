@@ -649,16 +649,23 @@ FROM aug GROUP BY 3
 
 
 def _jaccard_sql(threshold: float) -> str:
+    # document-frequency cap mirrored from operators/dedup.NGRAM_DF_CAP:
+    # shingles appearing in more than cap docs leave both the inverted
+    # index and the set sizes, exactly as the Spark operator does
+    cap = D.NGRAM_DF_CAP
     return f"""
 WITH {_AUG_DOCS_SQL},
+keep AS (SELECT sh_h FROM shs GROUP BY sh_h HAVING count(*) <= {cap}),
+shc AS (SELECT s.doc, s.sh_h FROM shs s JOIN keep k ON s.sh_h = k.sh_h),
+sizesc AS (SELECT doc, count(*) AS sz FROM shc GROUP BY doc),
 pairs AS (
   SELECT l.doc AS a, r.doc AS b, count(*) AS inter
-  FROM shs l JOIN shs r ON l.sh_h = r.sh_h AND l.doc < r.doc
+  FROM shc l JOIN shc r ON l.sh_h = r.sh_h AND l.doc < r.doc
   GROUP BY 1, 2
 )
 SELECT p.a, p.b, p.inter,
        round(p.inter / (sa.sz + sb.sz - p.inter), 6) AS jaccard
-FROM pairs p JOIN sizes sa ON p.a = sa.doc JOIN sizes sb ON p.b = sb.doc
+FROM pairs p JOIN sizesc sa ON p.a = sa.doc JOIN sizesc sb ON p.b = sb.doc
 WHERE round(p.inter / (sa.sz + sb.sz - p.inter), 6) >= {threshold}
 """
 

@@ -74,20 +74,60 @@ def _shingle_sets(docs: DataFrame, id_col: str, text_col: str, k: int) -> DataFr
     )
 
 
+# Max documents a shingle may appear in before it is dropped from the
+# inverted index. The self-join on sh_h yields O(df^2) candidate rows per
+# shingle, so one natural-language stop-shingle ("of the and") shared by d
+# documents would alone produce d^2 rows — quadratic in practice on text
+# corpora. Capping df bounds the join at cap^2 rows per shingle (the
+# parse-with-selection philosophy: never materialize what a cheap
+# predicate can drop, /root/reference/libmseed/parseutils.c:163-201).
+# Dropped shingles leave BOTH the intersection and the union (set sizes
+# are recomputed over the capped universe), so jaccard stays a true
+# Jaccard — of the informative-shingle sets.
+NGRAM_DF_CAP = 1024
+
+
+def capped_shingle_sets(
+    docs: DataFrame,
+    k: int = 3,
+    df_cap: int | None = NGRAM_DF_CAP,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc, sh_h) inverted index with document-frequency capping.
+
+    The df count is one groupBy on the 8-byte digest; the semi-join back
+    lands on the same sh_h partitioning the candidate self-join needs, so
+    the cap costs one narrow shuffle, not a new wide one.
+    """
+    ss = _shingle_sets(docs, id_col, text_col, k)
+    if df_cap is None:
+        return ss
+    keep = (
+        ss.groupBy("sh_h")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= df_cap)
+        .select("sh_h")
+    )
+    return ss.join(keep, "sh_h", "left_semi")
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     threshold: float = 0.8,
     k: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    df_cap: int | None = NGRAM_DF_CAP,
 ) -> DataFrame:
-    """Pairs (a < b) with shingle-set Jaccard >= threshold.
+    """Pairs (a < b) with shingle-set Jaccard >= threshold over the
+    df-capped shingle universe (see NGRAM_DF_CAP; df_cap=None disables).
 
     Self-join on shingle hash -> count shared shingles per pair; set sizes
     broadcast back. |inter| and |union| are integers, so the final
     jaccard = inter / (|A|+|B|-inter) is one float division — bit-stable.
     """
-    ss = _shingle_sets(docs, id_col, text_col, k)
+    ss = capped_shingle_sets(docs, k, df_cap, id_col, text_col)
     sizes = ss.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
     pairs = (
         ss.alias("l")
