@@ -407,13 +407,13 @@ def q_dedup_embedding(spark, sf_dir):
 
 
 def q_multimodal_features(spark, sf_dir):
-    # mean_level (a float byte-average with no clean SQL analogue) is
-    # dropped from the oracle-checked projection; it stays covered by
-    # tests/test_multimodal.py value assertions
+    # mean_level is rounded JVM-side (HALF_UP, matching DuckDB's round)
+    # so the kernel emits the raw double and both engines round once
     docs = load_table(spark, sf_dir, "documents")
     media = synth_media(docs)
     return extract_features(media, fake_decode=True).select(
-        "media_id", "kind", "n_bytes", "width", "height", "n_frames", "digest"
+        "media_id", "kind", "n_bytes", "width", "height", "n_frames",
+        F.round("mean_level", 6).alias("mean_level"), "digest",
     )
 
 
@@ -894,6 +894,13 @@ def _multimodal_sql() -> str:
         lo = f"strpos('0123456789abcdef', substr(h, {2 * i + 2}, 1)) - 1"
         return f"(({hi}) * 16 + ({lo}))"
 
+    # mean_level: payload = utf-8 text and the corpus is ASCII, so the
+    # per-character codepoint sum equals the byte sum ('(?s).' spans
+    # newlines); both engines round the same raw double to 6 dp
+    mean_level = (
+        "round(list_sum(list_transform(regexp_extract_all(text, '(?s).'),"
+        " c -> unicode(c))) / strlen(text) / 255.0, 6)"
+    )
     return f"""
 WITH d AS (SELECT doc_id, text, md5(text) AS h FROM documents)
 SELECT doc_id AS media_id,
@@ -904,6 +911,7 @@ SELECT doc_id AS media_id,
        CAST(16 + {dbyte(1)} % 64 AS INTEGER) AS height,
        CAST(CASE WHEN doc_id % 3 = 0 THEN 1
             ELSE 1 + {dbyte(2)} % 32 END AS INTEGER) AS n_frames,
+       {mean_level} AS mean_level,
        h AS digest
 FROM d
 """

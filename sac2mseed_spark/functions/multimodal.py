@@ -18,7 +18,6 @@ import hashlib
 from typing import Iterator
 
 import numpy as np
-import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
@@ -82,49 +81,78 @@ def _decode_real(payload: bytes, kind: str):
 
 
 def _decode_fake(payload: bytes, kind: str):
-    """Deterministic fake decode: dimensions/frames/levels are pure
-    functions of the payload digest + length. Replaced by a real decoder
-    behind the same return contract (width, height, n_frames, mean_level)."""
+    """Deterministic fake decode, per-row reference twin of the vectorized
+    kernel in extract_features (tests assert parity): dimensions/frames/
+    levels are pure functions of the payload digest + length. Replaced by
+    a real decoder behind the same return contract
+    (width, height, n_frames, mean_level — mean_level unrounded)."""
     d = hashlib.md5(payload).digest()
     n = len(payload)
     width = 16 + d[0] % 64
     height = 16 + d[1] % 64
     n_frames = 1 if kind == "image" else 1 + d[2] % 32
     mean_level = (sum(payload) / n / 255.0) if n else 0.0
-    return width, height, n_frames, round(mean_level, 6)
+    return width, height, n_frames, mean_level
 
 
 def extract_features(media: DataFrame, fake_decode: bool = True) -> DataFrame:
-    """Decode/feature-extract via mapInPandas (Arrow batches of payloads).
+    """Decode/feature-extract via mapInArrow (flat Arrow payload buffers).
 
     Column pruning matters at scale: the UDF receives only (media_id, kind,
     payload); any metadata-only query upstream never deserializes payload
-    bytes (kept in its own parquet column).
+    bytes (kept in its own parquet column). The fake path is vectorized
+    over the Arrow binary value buffer — n_bytes/byte-sum/mean_level are
+    flat numpy passes; the only per-row step is md5 (a real media codec is
+    per-file C anyway). Payloads must be non-null (synth_media contract).
     """
-    decode = _decode_fake if fake_decode else _decode_real
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if not len(pdf):
+    def run(batches) -> Iterator:
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        from ..operators.pack import _binary_spans
+
+        for rb in batches:
+            if rb.num_rows == 0:
                 continue
-            feats = [
-                decode(bytes(p), k) for p, k in zip(pdf["payload"], pdf["kind"])
-            ]
-            w, h, nf, ml = (np.array(x) for x in zip(*feats))
-            yield pd.DataFrame(
-                {
-                    "media_id": pdf["media_id"].to_numpy(),
-                    "kind": pdf["kind"].to_numpy(),
-                    "n_bytes": [len(bytes(p)) for p in pdf["payload"]],
-                    "width": w.astype(np.int32),
-                    "height": h.astype(np.int32),
-                    "n_frames": nf.astype(np.int32),
-                    "mean_level": ml.astype(np.float64),
-                    "digest": [hashlib.md5(bytes(p)).hexdigest() for p in pdf["payload"]],
-                }
+            names = rb.schema.names
+            pay = rb.column(names.index("payload"))
+            if not fake_decode:
+                # loud stub: the real decoder needs media libs absent here
+                _decode_real(bytes(pay[0].as_py()), "")
+            data, starts, ends = _binary_spans(pay)
+            n_bytes = (ends - starts).astype(np.int64)
+            cs = np.zeros(len(data) + 1, dtype=np.int64)
+            np.cumsum(data, out=cs[1:])
+            sums = cs[ends] - cs[starts]
+            mean_level = np.where(
+                n_bytes > 0, sums / np.maximum(n_bytes, 1) / 255.0, 0.0
+            )
+            mv = memoryview(data)
+            raws = [hashlib.md5(mv[s:e]).digest() for s, e in zip(starts, ends)]
+            dmat = np.frombuffer(b"".join(raws), dtype=np.uint8).reshape(-1, 16)
+            width = (16 + dmat[:, 0] % 64).astype(np.int32)
+            height = (16 + dmat[:, 1] % 64).astype(np.int32)
+            kind = rb.column(names.index("kind"))
+            is_image = pc.equal(kind, "image").to_numpy(zero_copy_only=False)
+            n_frames = np.where(
+                is_image, 1, 1 + (dmat[:, 2] % 32).astype(np.int32)
+            ).astype(np.int32)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    rb.column(names.index("media_id")),
+                    kind,
+                    pa.array(n_bytes),
+                    pa.array(width),
+                    pa.array(height),
+                    pa.array(n_frames),
+                    pa.array(mean_level),
+                    pa.array([r.hex() for r in raws]),
+                ],
+                names=[f.name for f in FEATURE_SCHEMA.fields],
             )
 
-    return media.select("media_id", "kind", "payload").mapInPandas(
+    return media.select("media_id", "kind", "payload").mapInArrow(
         run, schema=FEATURE_SCHEMA
     )
 

@@ -132,14 +132,65 @@ def knn_bruteforce(
     """Exact top-k cosine neighbors for each query vector.
 
     Output: (query_id, neighbor_id, rank, sim) — sim rounded to 6 dp
-    (JVM-side) with deterministic tie-break on neighbor_id. Queries are
-    broadcast; the corpus never shuffles before scoring.
+    (JVM-side) with deterministic tie-break on neighbor_id. The query set
+    (small by contract — it must fit in one broadcast, like any broadcast
+    dim table) is shipped to each task ONCE as a dense matrix; every
+    corpus Arrow batch is scored against the whole query matrix in one
+    kernel. The corpus never shuffles, and — unlike a pair-row
+    broadcast-join — each corpus vector crosses the Arrow boundary once
+    per batch, not once per query: pair materialization is 24 B/pair of
+    ids+score, never vectors.
+
+    Bit-determinism: the per-dimension outer-product fold reproduces the
+    oracle's sequential list_dot_product order per pair, and the
+    denominator sqrt(qq)*sqrt(cc) is a single commutative multiply.
     """
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
-    pairs = c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
-    scored = pairs.select("query_id", "neighbor_id", "qv", "cv").mapInArrow(
-        _cosine_pairs_arrow, schema=_PAIR_SCHEMA
+    qpdf = queries.select(
+        F.col(id_col).cast("long").alias("query_id"), F.col(vec_col).alias("qv")
+    ).toPandas()
+    qids = qpdf["query_id"].to_numpy(np.int64)
+    Q = np.stack(qpdf["qv"].to_numpy()).astype(np.float64)
+    qq = np.sqrt(_seq_dot(Q, Q))
+    bq = corpus.sparkSession.sparkContext.broadcast((qids, Q, qq))
+
+    def kernel(batches) -> Iterator:
+        import pyarrow as pa
+
+        qids_b, Qm, qn = bq.value
+        nq, dims = Qm.shape
+        for rb in batches:
+            if rb.num_rows == 0:
+                continue
+            names = rb.schema.names
+            C = _list_matrix(rb.column(names.index("cv")))
+            if C.shape[1] != dims:
+                raise ValueError(
+                    f"corpus dims {C.shape[1]} != query dims {dims}"
+                )
+            cn = np.sqrt(_seq_dot(C, C))
+            # sequential fold over dims (list_dot_product order), one
+            # (corpus x queries) accumulator per batch
+            acc = np.zeros((C.shape[0], nq), dtype=np.float64)
+            for d in range(dims):
+                acc += C[:, d, None] * Qm[None, :, d]
+            sim = acc / (cn[:, None] * qn[None, :])
+            cids = rb.column(names.index("neighbor_id")).to_numpy(
+                zero_copy_only=False
+            )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(np.tile(qids_b, C.shape[0])),
+                    pa.array(np.repeat(cids.astype(np.int64), nq)),
+                    pa.array(sim.ravel()),
+                ],
+                names=["query_id", "neighbor_id", "sim"],
+            )
+
+    c = corpus.select(
+        F.col(id_col).cast("long").alias("neighbor_id"), F.col(vec_col).alias("cv")
+    )
+    scored = c.mapInArrow(kernel, schema=_PAIR_SCHEMA).filter(
+        F.col("neighbor_id") != F.col("query_id")
     )
     return _rank_topk(scored.withColumn("sim", F.round("sim", 6)), k)
 

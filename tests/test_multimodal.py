@@ -42,6 +42,25 @@ def test_frame_sample_only_videos(spark, media):
         assert idxs == list(range(0, feats[mid]["n_frames"], 4))
 
 
+def test_vectorized_kernel_matches_per_row_reference(spark, media):
+    """The flat-buffer kernel must agree with the per-row _decode_fake
+    twin on every feature, including the unrounded mean_level."""
+    from sac2mseed_spark.functions.multimodal import _decode_fake
+
+    rows = extract_features(media).collect()
+    src = {r["media_id"]: r for r in media.collect()}
+    assert rows
+    for r in rows:
+        p = bytes(src[r["media_id"]]["payload"])
+        w, h, nf, ml = _decode_fake(p, r["kind"])
+        assert (r["width"], r["height"], r["n_frames"]) == (w, h, nf)
+        assert abs(r["mean_level"] - ml) < 1e-12
+        assert r["n_bytes"] == len(p)
+        import hashlib
+
+        assert r["digest"] == hashlib.md5(p).hexdigest()
+
+
 def test_real_decoder_is_stubbed():
     with pytest.raises(NotImplementedError):
         _decode_real(b"xx", "image")
