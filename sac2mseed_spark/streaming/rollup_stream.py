@@ -159,6 +159,54 @@ def stream_sessionize(
     )
 
 
+def incremental_sink(
+    transcripts_stream: DataFrame,
+    snapshot_dir: str,
+    work_dir: str,
+    checkpoint: str,
+    pack_tiers: tuple[str, ...] = ("1m",),
+    trigger_available_now: bool = True,
+):
+    """Streaming PACKED sink: every micro-batch lands as an append
+    snapshot and the incremental pipeline (plans/pipeline.py) rolls it
+    into the aggregate AND packed tiers — the streaming record_handler
+    analogue (/root/reference/src/sac2mseed.c:1437-1444): each arriving
+    span of turns is immediately re-emitted as finished records.
+
+    No watermark gating is needed for byte parity: a window that grows in
+    a later batch is simply re-encoded by the touched-window maintenance,
+    so at every committed batch the packed tier is byte-identical to a
+    batch pack_tier over everything ingested so far (tests assert).
+
+    Exactly-once: foreachBatch is at-least-once per batch_id; the
+    snapshot dir write is an idempotent overwrite keyed by batch_id and
+    process_pending() skips versions at-or-below the pipeline checkpoint,
+    so a replayed batch cannot double-count (same protocol as a crashed
+    batch job, pipeline.py module doc).
+    """
+    import os
+
+    from ..plans.pipeline import IncrementalRollup
+
+    os.makedirs(snapshot_dir, exist_ok=True)
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        path = os.path.join(snapshot_dir, f"snap_{batch_id + 1:08d}")
+        batch_df.write.mode("overwrite").parquet(path)
+        IncrementalRollup(
+            batch_df.sparkSession, snapshot_dir, work_dir, pack_tiers
+        ).process_pending()
+
+    w = (
+        transcripts_stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if trigger_available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()
+
+
 def tier_sink(
     tier_stream: DataFrame,
     path: str,

@@ -174,6 +174,61 @@ def test_stream_kill_resume_more_data_no_dup_no_drop(spark, tmp_path):
     assert g == want
 
 
+def test_streaming_packed_sink_bytes_equal_batch(spark, tmp_path):
+    """Streaming PACKED sink E2E (record_handler analogue, sac2mseed.c:
+    1437-1444): micro-batches land as snapshots, the incremental pipeline
+    re-encodes touched windows, and after the run — and again after a
+    stop/append-more/resume cycle on the same checkpoint — the packed 1m
+    tier is byte-identical to a batch pack_tier over all ingested turns."""
+    from sac2mseed_spark.operators.pack import pack_tier
+    from sac2mseed_spark.plans.pipeline import IncrementalRollup
+    from sac2mseed_spark.streaming.rollup_stream import incremental_sink
+
+    t = generate_transcripts(spark, "t_small", seed=42)
+    schema = t.schema
+    src = str(tmp_path / "in")
+    snaps = str(tmp_path / "snaps")
+    work = str(tmp_path / "work")
+    ckpt = str(tmp_path / "ckpt")
+
+    def packed_dict(df):
+        return {
+            (r["conv_id"], r["window_start_us"]): (
+                r["n_points"], r["n_chunks"], r["x0"], r["xn"],
+                bytes(r["payload"]), r["crc32"],
+            )
+            for r in df.collect()
+        }
+
+    # phase 1: two files -> two micro-batches (maxFilesPerTrigger=1),
+    # append-ordered per conversation
+    t.filter(F.col("turn_idx") < 20).coalesce(1).write.mode("overwrite").parquet(src)
+    t.filter((F.col("turn_idx") >= 20) & (F.col("turn_idx") < 60)).coalesce(
+        1
+    ).write.mode("append").parquet(src)
+    s1 = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    incremental_sink(s1, snaps, work, ckpt).awaitTermination(180)
+
+    inc = IncrementalRollup(spark, snaps, work)
+    part = t.filter(F.col("turn_idx") < 60)
+    assert packed_dict(inc.packed_tier("1m")) == packed_dict(
+        pack_tier(derive_turn_metrics(part), "1m")
+    )
+
+    # phase 2: more turns arrive; resume on the SAME checkpoint
+    t.filter(F.col("turn_idx") >= 60).coalesce(1).write.mode("append").parquet(src)
+    s2 = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    incremental_sink(s2, snaps, work, ckpt).awaitTermination(180)
+
+    assert packed_dict(inc.packed_tier("1m")) == packed_dict(
+        pack_tier(derive_turn_metrics(t), "1m")
+    )
+    # aggregate tiers ride along in the same pipeline
+    want_1h = rollup_from_turns(derive_turn_metrics(t), "1h")
+    got = {tuple(r) for r in inc.tier("1h").collect()}
+    assert got == {tuple(r) for r in want_1h.collect()}
+
+
 def test_stream_checkpoint_resume_no_duplicates(spark, stream_setup, tmp_path):
     """Restarting from the same checkpoint with no new data emits nothing
     new (offset log = fpos analogue)."""
