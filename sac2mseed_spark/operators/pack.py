@@ -266,6 +266,7 @@ def pack_tier(
     salted: bool = False,
     n_partitions: int | None = None,
     clustered_by_conv: bool = False,
+    assume_sorted: bool = False,
 ) -> DataFrame:
     """metrics (derive_turn_metrics output) -> packed window blobs.
 
@@ -274,6 +275,17 @@ def pack_tier(
     derive_turn_metrics output, whose lag window already hash-partitioned
     on conv_id. The per-partition sort still runs (cheap on the window's
     near-sorted output); payload bytes are identical either way.
+
+    ``assume_sorted=True`` (implies clustered_by_conv) also skips the
+    per-partition sort, for callers whose rows are ALREADY in
+    (conv_id, turn_idx, ts_us) order within each partition — true when
+    packing straight off derive_turn_metrics output or its cache, whose
+    lag window sorted exactly that order. Preconditions for byte identity
+    with the sorting path: unique turn_idx per conversation and ts
+    monotone w.r.t. turn_idx (then (conv, turn, ts) order equals
+    (conv, window, turn, ts) order). Skipping the Tungsten sort removes
+    a full materialization of every row — the pack stage becomes one
+    cache-scan + one Arrow pass.
     """
     if salted:
         return _pack_tier_salted(metrics, tier)
@@ -285,15 +297,15 @@ def pack_tier(
         *[F.col(s).cast("double").alias(s) for s in STREAMS],
     )
     keys = ["conv_id", "window_start_us"]
-    if not clustered_by_conv:
+    if not (clustered_by_conv or assume_sorted):
         flat = (
             flat.repartition(n_partitions, "conv_id")
             if n_partitions
             else flat.repartition("conv_id")
         )
-    packed = flat.sortWithinPartitions(
-        *keys, "turn_idx", "ts_us", *STREAMS
-    ).mapInArrow(_pack_flat_arrow, schema=PACKED_SCHEMA)
+    if not assume_sorted:
+        flat = flat.sortWithinPartitions(*keys, "turn_idx", "ts_us", *STREAMS)
+    packed = flat.mapInArrow(_pack_flat_arrow, schema=PACKED_SCHEMA)
     return packed.withColumn("tier", F.lit(tier))
 
 

@@ -78,10 +78,11 @@ def _pipeline_once(spark, conv_slice=None, with_counts=True):
         # one action materializes BOTH upper tiers from the cached 1m
         force(t1h.unionByName(rollup_from_tier(t1h, "1d")))
     stages["cascade"] = round(time.perf_counter() - t, 2)
-    # m is already hash-partitioned on conv_id by the lag window -> the
-    # pack skips its repartition exchange entirely
+    # m is already hash-partitioned AND (conv_id, turn_idx, ts)-sorted by
+    # the lag window -> the pack skips both its exchange and its sort
+    # (byte identity asserted by tests/test_pack_spark.py)
     t = time.perf_counter()
-    force(pack_tier(m, "1m", clustered_by_conv=True))
+    force(pack_tier(m, "1m", assume_sorted=True))
     stages["pack"] = round(time.perf_counter() - t, 2)
     t1m.unpersist()
     m.unpersist()
