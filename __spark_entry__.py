@@ -37,7 +37,9 @@ from sac2mseed_spark.functions.selections import (
     override_sql,
     selections_sql,
 )
+from sac2mseed_spark.functions.ratapprox import rat_approx, rat_approx_sql
 from sac2mseed_spark.operators.gapfill import gap_fill
+from sac2mseed_spark.operators.ivf import knn_ivf
 from sac2mseed_spark.operators.gaps import gap_report
 from sac2mseed_spark.operators.pack import (
     pack_tier,
@@ -401,6 +403,49 @@ def q_knn_lsh(spark, sf_dir):
     return S.knn_lsh(emb, emb.filter(F.col("vec_id") % 50 == 0), k=5, expect_dims=64)
 
 
+def q_knn_ivf(spark, sf_dir):
+    """IVF inverted-list ANN (operators/ivf.py): corpus assigned once to 8
+    medoid-seeded centroids, each query probes its 2 nearest lists, exact
+    cosine re-ranks. Same candidate-then-verify shape as the reference's
+    selection short-circuit (parseutils.c:163-201)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return knn_ivf(
+        emb, emb.filter(F.col("vec_id") % 50 == 0), k=5, expect_dims=64
+    )
+
+
+def q_rat_approx(spark, sf_dir):
+    """F4 ms_ratapprox analogue (genutils.c:1455-1521): per-conversation
+    mean turn rate (turns/hour — the natural unit at transcript cadence,
+    like samples/sec at seismic cadence) approximated as a bounded-
+    denominator rational via fixed-length continued-fraction expansion —
+    pure Catalyst expressions, bit-matched by the unrolled-CTE DuckDB twin
+    (functions/ratapprox.py)."""
+    t = transcripts_from_events(spark, sf_dir)
+    g = (
+        t.groupBy("conv_id")
+        .agg(
+            F.count("*").alias("n_turns"),
+            F.min(ts_us_col("ts")).alias("min_ts"),
+            F.max(ts_us_col("ts")).alias("max_ts"),
+        )
+        .filter((F.col("n_turns") >= 2) & (F.col("max_ts") > F.col("min_ts")))
+        .withColumn(
+            "rate_per_hour",
+            (F.col("n_turns") - 1).cast("double")
+            * F.lit(3600000000.0)
+            / (F.col("max_ts") - F.col("min_ts")).cast("double"),
+        )
+    )
+    return rat_approx(g, "rate_per_hour", 1000).select(
+        "conv_id",
+        "n_turns",
+        F.round("rate_per_hour", 6).alias("rate_per_hour"),
+        "rat_num",
+        "rat_den",
+    )
+
+
 def q_dedup_embedding(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     return S.embedding_dup_pairs(emb, threshold=0.4, expect_dims=64)
@@ -453,6 +498,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": q_simhash_pairs,
         "knn_bruteforce": q_knn_bruteforce,
         "knn_lsh": q_knn_lsh,
+        "knn_ivf": q_knn_ivf,
+        "rat_approx": q_rat_approx,
         "dedup_embedding": q_dedup_embedding,
         "multimodal_features": q_multimodal_features,
     }
@@ -801,6 +848,64 @@ QUALIFY row_number() OVER w <= {k}
 """
 
 
+def _knn_ivf_sql(k: int = 5, n_cent: int = 8, nprobe: int = 2) -> str:
+    return f"""
+WITH c AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cent AS (SELECT id AS cid, v AS cv FROM c ORDER BY id LIMIT {n_cent}),
+sim_cc AS (
+  SELECT c.id, c.v, cent.cid,
+         list_dot_product(c.v, cent.cv) /
+           (sqrt(list_dot_product(c.v, c.v)) *
+            sqrt(list_dot_product(cent.cv, cent.cv))) AS s
+  FROM c, cent
+),
+asg AS (
+  SELECT id, v, cid FROM (
+    SELECT *, row_number() OVER (PARTITION BY id ORDER BY s DESC, cid) AS rn
+    FROM sim_cc
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT id AS query_id, v AS qv, cid FROM (
+    SELECT *, row_number() OVER (PARTITION BY id ORDER BY s DESC, cid) AS rn
+    FROM sim_cc WHERE id % 50 = 0
+  ) WHERE rn <= {nprobe}
+),
+cand AS (
+  SELECT p.query_id, p.qv, a.id AS neighbor_id, a.v AS cv
+  FROM probes p JOIN asg a USING (cid)
+  WHERE a.id <> p.query_id
+),
+s AS (
+  SELECT query_id, neighbor_id,
+         round(list_dot_product(qv, cv) /
+               (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))),
+               6) AS sim
+  FROM cand
+)
+SELECT query_id, neighbor_id,
+       CAST(row_number() OVER w AS INTEGER) AS rank, sim
+FROM s
+WINDOW w AS (PARTITION BY query_id ORDER BY sim DESC, neighbor_id)
+QUALIFY row_number() OVER w <= {k}
+"""
+
+
+def _rat_approx_sql() -> str:
+    inner = f"""{_ORACLE_PREFIX}
+SELECT conv_id, n_turns,
+       CAST(n_turns - 1 AS DOUBLE) * 3600000000.0
+         / CAST(max_ts - min_ts AS DOUBLE) AS rate_per_hour
+FROM (SELECT conv_id, count(*) AS n_turns,
+             min(ts_us) AS min_ts, max(ts_us) AS max_ts
+      FROM m GROUP BY 1)
+WHERE n_turns >= 2 AND max_ts > min_ts"""
+    return (
+        "SELECT conv_id, n_turns, round(rate_per_hour, 6) AS rate_per_hour, "
+        f"rat_num, rat_den FROM ({rat_approx_sql(inner, 'rate_per_hour', 1000)})"
+    )
+
+
 def _plane_literal(p: int, dims: int = 64) -> str:
     import hashlib
 
@@ -1023,6 +1128,8 @@ SELECT * FROM bad UNION ALL SELECT * FROM good""",
         "simhash_pairs": _simhash_pairs_sql(3),
         "knn_bruteforce": _knn_sql(5),
         "knn_lsh": _knn_lsh_sql(5),
+        "knn_ivf": _knn_ivf_sql(5),
+        "rat_approx": _rat_approx_sql(),
         "dedup_embedding": _embedding_dup_sql(0.4),
         "multimodal_features": _multimodal_sql(),
     }

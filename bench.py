@@ -56,6 +56,8 @@ SUITE_QUERIES = [
     "simhash_pairs",
     "knn_bruteforce",
     "knn_lsh",
+    "knn_ivf",
+    "rat_approx",
     "multimodal_features",
 ]
 

@@ -37,10 +37,17 @@ def token_count_col(text_col="text"):
     """Whitespace token count; empty/blank text counts 0 tokens.
 
     Definition chosen to be expressible identically in ANSI SQL (DuckDB
-    oracle): split trimmed text on runs of whitespace.
+    oracle): split trimmed text on runs of whitespace. Computed as
+    1 + count of separator runs (regexp_count) — value-identical to
+    size(split(...)) on trimmed non-empty text, but never materializes a
+    per-row token array (the split-based form allocates |tokens| string
+    objects per turn just to take the length; at 10^12 turns that array
+    churn is pure GC load in the hottest map stage).
     """
     t = F.trim(F.col(text_col))
-    return F.when(F.length(t) == 0, F.lit(0)).otherwise(F.size(F.split(t, r"\s+")))
+    return F.when(F.length(t) == 0, F.lit(0)).otherwise(
+        F.regexp_count(t, F.lit(r"\s+")) + 1
+    )
 
 
 def derive_turn_metrics(transcripts: DataFrame) -> DataFrame:

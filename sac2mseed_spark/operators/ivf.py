@@ -1,0 +1,141 @@
+"""IVF (inverted-file) approximate nearest neighbor over embeddings.
+
+The third ANN path next to knn_bruteforce (exact baseline) and knn_lsh
+(hyperplane buckets): the corpus is partitioned into n_centroids inverted
+lists by nearest centroid; a query probes only its nprobe nearest lists and
+re-ranks those candidates with exact cosine. At 100 TB the corpus is
+assigned ONCE (one scan, no shuffle — assignment is a map), the inverted
+lists are the partition layout, and each query batch touches
+nprobe/n_centroids of the data instead of all of it.
+
+Centroid choice is the deterministic medoid seed (the n_centroids lowest
+ids) so the DuckDB oracle can reproduce the exact same index — a real
+deployment would train centroids offline (k-means on a sample) and ship
+them as a broadcast table, which is precisely how the seed matrix travels
+here. Every float reduction is the same sequential per-dimension fold as
+similarity.py (bit-exact to the oracle's list_dot_product).
+
+Reference parallel: selection short-circuit before decode
+(/root/reference/libmseed/parseutils.c:163-201) — prune whole buckets with
+a cheap predicate (centroid distance) before the expensive exact scoring.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StructField, StructType
+
+from .similarity import _cosine_pairs_arrow, _list_matrix, _PAIR_SCHEMA, _rank_topk, _seq_dot
+
+N_CENTROIDS = 8
+NPROBE = 2
+
+
+def _centroid_matrix(corpus: DataFrame, id_col: str, vec_col: str, n: int):
+    """(cids, matrix, norms) of the n lowest-id vectors — tiny, collected
+    to the driver and broadcast like any dimension table."""
+    rows = (
+        corpus.select(F.col(id_col).cast("long").alias("cid"), F.col(vec_col).alias("cv"))
+        .orderBy("cid")
+        .limit(n)
+        .collect()
+    )
+    cids = np.array([r.cid for r in rows], dtype=np.int64)
+    M = np.array([list(r.cv) for r in rows], dtype=np.float64)
+    return cids, M, np.sqrt(_seq_dot(M, M))
+
+
+def _assign_kernel(bc, n_assign: int, vec_type, expect_dims: int | None):
+    """mapInPandas kernel: nearest n_assign centroids per vector (ties →
+    lowest cid, via a stable sort over the cid-ascending centroid order)."""
+    out_schema = StructType(
+        [
+            StructField("id", LongType()),
+            StructField("v", vec_type),
+            StructField("cid", LongType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cids, M, cnorm = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+            if expect_dims is not None and V.shape[1] != expect_dims:
+                raise ValueError(f"embedding dims {V.shape[1]} != expected {expect_dims}")
+            # sequential fold over dims (list_dot_product order), one
+            # (rows x centroids) accumulator
+            acc = np.zeros((len(V), len(cids)), dtype=np.float64)
+            for d in range(V.shape[1]):
+                acc += V[:, d, None] * M[None, :, d]
+            sim = acc / (np.sqrt(_seq_dot(V, V))[:, None] * cnorm[None, :])
+            # stable argsort of -sim keeps cid-ascending order on ties
+            top = np.argsort(-sim, axis=1, kind="stable")[:, :n_assign]
+            ids = pdf["id"].to_numpy(np.int64)
+            yield pd.DataFrame(
+                {
+                    "id": np.repeat(ids, n_assign),
+                    "v": pdf["v"].to_numpy().repeat(n_assign),
+                    "cid": cids[top].ravel(),
+                }
+            )
+
+    return run, out_schema
+
+
+def assign_centroids(
+    df: DataFrame,
+    bc,
+    n_assign: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    expect_dims: int | None = None,
+) -> DataFrame:
+    """(id, v, cid) x n_assign: nearest-centroid assignment (the IVF index
+    build for the corpus; the probe-list build for queries)."""
+    vec_type = df.schema[vec_col].dataType
+    run, schema = _assign_kernel(bc, n_assign, vec_type, expect_dims)
+    return df.select(
+        F.col(id_col).cast("long").alias("id"), F.col(vec_col).alias("v")
+    ).mapInPandas(run, schema=schema)
+
+
+def knn_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = N_CENTROIDS,
+    nprobe: int = NPROBE,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    expect_dims: int | None = None,
+) -> DataFrame:
+    """IVF approximate top-k: (query_id, neighbor_id, rank, sim).
+
+    corpus -> one assignment map (inverted lists); queries -> nprobe
+    probed lists each (broadcast); candidates = equi-join on cid; exact
+    cosine re-rank. sim rounded to 6 dp, ties broken on neighbor_id."""
+    sc = corpus.sparkSession.sparkContext
+    bc = sc.broadcast(_centroid_matrix(corpus, id_col, vec_col, n_centroids))
+    inv = assign_centroids(corpus, bc, 1, id_col, vec_col, expect_dims).select(
+        F.col("id").alias("neighbor_id"), F.col("v").alias("cv"), "cid"
+    )
+    probes = assign_centroids(queries, bc, nprobe, id_col, vec_col, expect_dims).select(
+        F.col("id").alias("query_id"), F.col("v").alias("qv"), "cid"
+    )
+    # no distinct needed: each corpus row lives in exactly one inverted
+    # list and a query's nprobe probed cids are distinct, so a (query,
+    # neighbor) pair can only arise once — skipping the wide-row shuffle
+    cand = (
+        inv.join(F.broadcast(probes), "cid")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "qv", "neighbor_id", "cv")
+    )
+    scored = cand.mapInArrow(_cosine_pairs_arrow, schema=_PAIR_SCHEMA)
+    return _rank_topk(scored.withColumn("sim", F.round("sim", 6)), k)

@@ -83,6 +83,7 @@ def generate_transcripts(
     seed: int = 42,
     parallelism: int | None = None,
     conv_slice: tuple[int, int] | None = None,
+    slice_mod: int | None = None,
 ) -> DataFrame:
     """Build the transcripts DataFrame for a fixture spec.
 
@@ -93,6 +94,11 @@ def generate_transcripts(
     ``conv_slice=(p, P)`` keeps only conversations with cid % P == p — a
     disjoint, exhaustive partition of the fixture used to emulate
     per-executor input splits (multi-process scaling runs).
+
+    ``slice_mod=M`` appends a ``slice = cid % M`` column used as the
+    physical partition key when the fixture is materialized to a table
+    (write_transcripts_table); any executor count P with P | M then maps
+    onto whole partition directories.
     """
     if isinstance(spec, str):
         spec = FIXTURES[spec]
@@ -179,17 +185,56 @@ def generate_transcripts(
             text
         )
 
-    out = t.select(
+    cols = [
         F.format_string("conv_%08d", cid).alias("conv_id"),
         tid.cast("int").alias("turn_idx"),
         role.alias("role"),
         text.alias("text"),
         tool.alias("tool"),
         F.timestamp_micros(ts_us.cast("long")).alias("ts"),
-    )
+    ]
+    if slice_mod:
+        cols.append(F.pmod(cid, F.lit(slice_mod)).cast("int").alias("slice"))
+    out = t.select(*cols)
     if spec.shuffle_rows:
         out = out.orderBy(F.pmod(_h(F.col("conv_id"), F.col("turn_idx"), s, F.lit("shuf")), F.lit(1 << 31)))
     return out
+
+
+def write_transcripts_table(
+    spark: SparkSession,
+    path: str,
+    spec: TranscriptSpec | str = "t_scale4",
+    seed: int = 42,
+    slice_mod: int = 16,
+    parallelism: int | None = None,
+) -> None:
+    """Materialize a fixture as a slice-partitioned parquet table — the
+    sandbox analogue of the north rule's Iceberg input table. Datagen is a
+    one-time, UNTIMED setup step (like TPC dbgen): production jobs read a
+    table something else wrote; they do not synthesize their input.
+
+    Physical layout ``slice=cid % slice_mod`` means any executor count P
+    with P | slice_mod reads a disjoint set of whole partition directories
+    (partition pruning, zero overlap) — exactly how a real cluster splits
+    an Iceberg table's files across executors.
+    """
+    generate_transcripts(
+        spark, spec, seed, parallelism, slice_mod=slice_mod
+    ).write.mode("overwrite").partitionBy("slice").parquet(path)
+
+
+def read_transcripts_table(
+    spark: SparkSession, path: str, conv_slice: tuple[int, int] | None = None
+) -> DataFrame:
+    """Read a materialized transcripts table; ``conv_slice=(p, P)`` keeps
+    the p-th of P disjoint slices via partition pruning on the ``slice``
+    directory column (requires P | slice_mod of the writer)."""
+    df = spark.read.parquet(path)
+    if conv_slice is not None:
+        p, np_ = conv_slice
+        df = df.filter(F.pmod(F.col("slice"), F.lit(np_)) == p)
+    return df.drop("slice")
 
 
 # SQL that derives a transcripts relation from the driver's `events` table.

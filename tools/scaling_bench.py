@@ -13,10 +13,15 @@ same job runs at two parallelism levels on identical input, three ways:
      NOT how a cluster scales, and its artifacts are visible here.
   3. codec-kernel multiprocessing scaling (pure compute path).
 
-Job per executor: generate slice -> derive metrics -> 1m/1h/1d cascade ->
-pack 1m. Throughput = rolled-up tier points / wall seconds.
+Input: the fixture is materialized ONCE to a slice-partitioned parquet
+table (untimed setup, like TPC dbgen — the north rule's job reads an
+Iceberg table, it does not synthesize its input), then every timed run
+READS its disjoint slice via partition pruning. Job per executor:
+read slice -> derive metrics -> 1m/1h/1d cascade -> pack 1m.
+Throughput = rolled-up tier points / wall seconds.
 
 Usage: python tools/scaling_bench.py                 # full report -> BENCH/BASELINE.md
+       python tools/scaling_bench.py datagen         # (re)materialize fixture table
        python tools/scaling_bench.py worker N        # one single-JVM level
        python tools/scaling_bench.py exec p P cores  # one emulated executor
 """
@@ -33,13 +38,45 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 ITERS = 2
 ROUNDS = int(os.environ.get("SCALE_ROUNDS", "2"))
 FIXTURE = os.environ.get("SCALE_FIXTURE", "t_scale4")
+# P executors read disjoint directory sets of the slice=cid%16 layout for
+# every P in {1, 2, 4, 8} (P | 16) — see write_transcripts_table
+SLICE_MOD = 16
+FIXTURE_DIR = os.environ.get(
+    "SCALE_FIXTURE_DIR", f"/tmp/sac2mseed_scale_table_{FIXTURE}"
+)
+
+
+def datagen() -> None:
+    """Materialize the fixture table (one-time, untimed — TPC dbgen)."""
+    sys.path.insert(0, REPO)
+    from sac2mseed_spark.session import get_spark
+    from sac2mseed_spark.sources.transcripts import write_transcripts_table
+
+    spark = get_spark("scale_datagen", master="local[32]", shuffle_partitions=64)
+    spark.sparkContext.setLogLevel("ERROR")
+    write_transcripts_table(
+        spark, FIXTURE_DIR, FIXTURE, seed=42, slice_mod=SLICE_MOD, parallelism=64
+    )
+    n = spark.read.parquet(FIXTURE_DIR).count()
+    with open(os.path.join(FIXTURE_DIR, "_META.json"), "w") as f:
+        json.dump({"fixture": FIXTURE, "seed": 42, "n_turns": n}, f)
+    print(f"DATAGEN_RESULT {json.dumps({'n_turns': n, 'dir': FIXTURE_DIR})}")
+
+
+def ensure_fixture() -> None:
+    if os.path.exists(os.path.join(FIXTURE_DIR, "_META.json")):
+        return
+    proc = _spawn(["datagen"])
+    out, _ = proc.communicate(timeout=1800)
+    if not os.path.exists(os.path.join(FIXTURE_DIR, "_META.json")):
+        raise RuntimeError(f"datagen failed:\n{out[-2000:]}")
 
 
 def _pipeline_once(spark, conv_slice=None, with_counts=True):
     from sac2mseed_spark.functions.metrics import derive_turn_metrics, slim_metrics
     from sac2mseed_spark.operators.pack import pack_tier
     from sac2mseed_spark.operators.rollup import rollup_from_tier, rollup_from_turns
-    from sac2mseed_spark.sources.transcripts import generate_transcripts
+    from sac2mseed_spark.sources.transcripts import read_transcripts_table
 
     def force(df):
         df.write.format("noop").mode("overwrite").save()
@@ -51,9 +88,7 @@ def _pipeline_once(spark, conv_slice=None, with_counts=True):
     t = time.perf_counter()
     m = slim_metrics(
         derive_turn_metrics(
-            generate_transcripts(
-                spark, FIXTURE, seed=42, parallelism=64, conv_slice=conv_slice
-            )
+            read_transcripts_table(spark, FIXTURE_DIR, conv_slice=conv_slice)
         )
     ).persist()
     n_turns = m.count() if with_counts else None
@@ -311,13 +346,18 @@ def main() -> None:
     if len(sys.argv) >= 5 and sys.argv[1] == "exec":
         exec_worker(int(sys.argv[2]), int(sys.argv[3]), int(sys.argv[4]))
         return
+    if len(sys.argv) >= 2 and sys.argv[1] == "datagen":
+        datagen()
+        return
     if len(sys.argv) >= 3 and sys.argv[1] == "execs":
+        ensure_fixture()
         print("PHASE_RESULT " + json.dumps(run_executors(int(sys.argv[2]), 4)))
         return
     if len(sys.argv) >= 2 and sys.argv[1] == "kernel":
         print("PHASE_RESULT " + json.dumps(kernel_scaling()))
         return
     if len(sys.argv) >= 2 and sys.argv[1] == "gate":
+        ensure_fixture()
         rounds_n, rounds_4n = [], []
         for _ in range(ROUNDS):
             rounds_n.append(run_executors(1, 4))
@@ -332,6 +372,7 @@ def main() -> None:
         }))
         return
 
+    ensure_fixture()
     cal = cpu_calibration()
 
     # This VM shares a host: /proc/stat steal swings between 0 and ~25%
@@ -382,9 +423,12 @@ def main() -> None:
     raw_4n = ", ".join(f"{w}s @ steal {st:.1%}" for w, st in raw_walls["4N"])
     md = f"""# BENCH/BASELINE — measured numbers
 
-Generated by `python tools/scaling_bench.py`. Job: synthetic transcripts
-(FIXTURES['{FIXTURE}'], seed 42, {ex_n["n_turns"]:,} turns) -> per-turn
-metrics -> 1m/1h/1d rollup cascade -> packed 1m payloads;
+Generated by `python tools/scaling_bench.py`. Input: FIXTURES['{FIXTURE}']
+(seed 42, {ex_n["n_turns"]:,} turns) materialized ONCE as a
+slice-partitioned parquet table (untimed setup, like TPC dbgen — the
+north rule's job reads an Iceberg table, it does not synthesize its
+input). Timed job: read slice (partition-pruned) -> per-turn metrics ->
+1m/1h/1d rollup cascade -> packed 1m payloads;
 {ex_n["rolled_points"]:,} rolled-up tier points per run. Every variant runs
 the identical deterministic input end to end.
 
@@ -413,9 +457,10 @@ N = 1 executor, 4N = 4 executors.
 ## 1. Multi-executor emulation (headline — the cluster analogue)
 
 P independent Spark JVMs ("executors", local[4] each, pinned to disjoint
-4-core sets) process disjoint conv_id slices of the same fixture
-concurrently — the engine pipeline is conv-partitioned, so a real cluster
-run shuffles nothing between executors and this emulation is faithful.
+4-core sets) read disjoint partition-directory slices (slice = cid % 16,
+partition-pruned) of the same fixture table concurrently — the engine
+pipeline is conv-partitioned, so a real cluster run shuffles nothing
+between executors and this emulation is faithful.
 
 | cluster size | total cores | job wall s | rolled-up points/sec |
 |---|---|---|---|
