@@ -51,6 +51,7 @@ from sac2mseed_spark.operators.rollup import (
     rollup_cascade,
     rollup_from_turns,
 )
+from sac2mseed_spark.operators.retention import retention_sweep, serve_tiered
 from sac2mseed_spark.operators.sessionize import segments
 from sac2mseed_spark.sources.tables import load_table
 from sac2mseed_spark.sources.transcripts import (
@@ -84,10 +85,11 @@ m AS (
 _TIER_US = {"1m": 60_000_000, "1h": 3_600_000_000, "1d": 86_400_000_000}
 
 
-def _rollup_sql(tier: str) -> str:
+def _tier_body_sql(tier: str) -> str:
+    """Rollup aggregate for one tier, as a bare SELECT over CTE ``m``
+    (reused as a CTE by the retention oracles)."""
     w = _TIER_US[tier]
-    return f"""{_ORACLE_PREFIX}
-SELECT conv_id,
+    return f"""SELECT conv_id,
        CAST(floor(ts_us / {w}.0) AS BIGINT) * {w} AS window_start_us,
        count(*) AS n_points,
        count(latency_us) AS n_latency,
@@ -98,8 +100,11 @@ SELECT conv_id,
        min(ts_us) AS min_ts_us,
        max(ts_us) AS max_ts_us,
        '{tier}' AS tier
-FROM m GROUP BY 1, 2
-"""
+FROM m GROUP BY 1, 2"""
+
+
+def _rollup_sql(tier: str) -> str:
+    return f"{_ORACLE_PREFIX}\n{_tier_body_sql(tier)}\n"
 
 
 _STOPWORDS_SQL = "[" + ",".join(f"'{s}'" for s in T.EN_STOPWORDS) + "]"
@@ -403,6 +408,34 @@ def q_knn_lsh(spark, sf_dir):
     return S.knn_lsh(emb, emb.filter(F.col("vec_id") % 50 == 0), k=5, expect_dims=64)
 
 
+# Retention horizons used by the retention queries/oracles: the sf tables
+# span ~30 days, so 2d of 1m windows / 10d of 1h windows / 1d forever
+# exercises every band.
+_RET_H1M_US = 2 * 86_400_000_000
+_RET_H1H_US = 10 * 86_400_000_000
+_RET_HORIZONS = {"1m": _RET_H1M_US, "1h": _RET_H1H_US, "1d": None}
+
+
+def _now_us(spark, sf_dir) -> int:
+    return _metrics(spark, sf_dir).agg(F.max("ts_us")).collect()[0][0]
+
+
+def q_retention_sweep(spark, sf_dir):
+    """Downsample-and-expire accounting (operators/retention.py): per tier,
+    windows/points kept vs evicted under the default horizons — the report
+    a metadata-only Iceberg DELETE job writes to the metrics table."""
+    m = _metrics(spark, sf_dir)
+    return retention_sweep(rollup_cascade(m), _now_us(spark, sf_dir), _RET_HORIZONS)
+
+
+def q_tiered_serve(spark, sf_dir):
+    """Age-banded serving view: finest retained tier per age band — recent
+    windows at 1m resolution, mid-age at 1h, old at 1d; disjoint bands,
+    pure partition-prunable filters + union."""
+    m = _metrics(spark, sf_dir)
+    return serve_tiered(rollup_cascade(m), _now_us(spark, sf_dir), _RET_HORIZONS)
+
+
 def q_knn_ivf(spark, sf_dir):
     """IVF inverted-list ANN (operators/ivf.py): corpus assigned once to 8
     medoid-seeded centroids, each query probes its 2 nearest lists, exact
@@ -500,6 +533,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_lsh": q_knn_lsh,
         "knn_ivf": q_knn_ivf,
         "rat_approx": q_rat_approx,
+        "retention_sweep": q_retention_sweep,
+        "tiered_serve": q_tiered_serve,
         "dedup_embedding": q_dedup_embedding,
         "multimodal_features": q_multimodal_features,
     }
@@ -848,6 +883,59 @@ QUALIFY row_number() OVER w <= {k}
 """
 
 
+# band edges ceil-aligned to the coarser tier's window (integer math —
+# identical to operators/retention.py band_edges_us)
+_RET_TIERS_CTE = (
+    "t1m AS ({b1m}),\nt1h AS ({b1h}),\nt1d AS ({b1d}),\n"
+    "nw AS (SELECT max(ts_us) AS now_us,\n"
+    f"       ((max(ts_us) - {_RET_H1M_US} + {_TIER_US['1h']} - 1) // {_TIER_US['1h']}) * {_TIER_US['1h']} AS edge1,\n"
+    f"       ((max(ts_us) - {_RET_H1H_US} + {_TIER_US['1d']} - 1) // {_TIER_US['1d']}) * {_TIER_US['1d']} AS edge2\n"
+    "FROM m)"
+)
+
+
+def _ret_tiers_prefix() -> str:
+    return f"{_ORACLE_PREFIX},\n" + _RET_TIERS_CTE.format(
+        b1m=_tier_body_sql("1m"), b1h=_tier_body_sql("1h"), b1d=_tier_body_sql("1d")
+    )
+
+
+def _retention_sweep_sql() -> str:
+    def band(tier: str, lo: str | None) -> str:
+        keep = "TRUE" if lo is None else f"window_start_us >= {lo}"
+        drop = "FALSE" if lo is None else f"window_start_us < {lo}"
+        return f"""SELECT '{tier}' AS tier,
+       count(CASE WHEN {keep} THEN 1 END) AS n_kept,
+       count(CASE WHEN {drop} THEN 1 END) AS n_evicted,
+       CAST(coalesce(sum(CASE WHEN {keep} THEN n_points END), 0) AS BIGINT) AS pts_kept,
+       CAST(coalesce(sum(CASE WHEN {drop} THEN n_points END), 0) AS BIGINT) AS pts_evicted
+FROM t{tier}, nw"""
+
+    return (
+        _ret_tiers_prefix()
+        + "\n"
+        + band("1m", f"now_us - {_RET_H1M_US}")
+        + "\nUNION ALL\n"
+        + band("1h", f"now_us - {_RET_H1H_US}")
+        + "\nUNION ALL\n"
+        + band("1d", None)
+    )
+
+
+def _tiered_serve_sql() -> str:
+    cols = (
+        "conv_id, window_start_us, n_points, n_latency, sum_latency_us, "
+        "min_latency_us, max_latency_us, sum_tokens, min_ts_us, max_ts_us, tier"
+    )
+    return f"""{_ret_tiers_prefix()}
+SELECT {cols} FROM t1m, nw WHERE window_start_us >= edge1
+UNION ALL
+SELECT {cols} FROM t1h, nw WHERE window_start_us >= edge2
+                             AND window_start_us < edge1
+UNION ALL
+SELECT {cols} FROM t1d, nw WHERE window_start_us < edge2"""
+
+
 def _knn_ivf_sql(k: int = 5, n_cent: int = 8, nprobe: int = 2) -> str:
     return f"""
 WITH c AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -1130,6 +1218,8 @@ SELECT * FROM bad UNION ALL SELECT * FROM good""",
         "knn_lsh": _knn_lsh_sql(5),
         "knn_ivf": _knn_ivf_sql(5),
         "rat_approx": _rat_approx_sql(),
+        "retention_sweep": _retention_sweep_sql(),
+        "tiered_serve": _tiered_serve_sql(),
         "dedup_embedding": _embedding_dup_sql(0.4),
         "multimodal_features": _multimodal_sql(),
     }

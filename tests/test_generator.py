@@ -70,3 +70,35 @@ def test_edge_fixture_has_empty_text_and_dup_ts(spark):
     assert df.filter(F.col("text") == "").count() > 0
     dups = df.groupBy("conv_id", "ts").count().filter("count > 1").count()
     assert dups > 0
+
+
+def test_materialized_table_roundtrip_and_slicing(spark, tmp_path):
+    """write_transcripts_table / read_transcripts_table: parquet round-trip
+    preserves every row, and conv_slice reads are disjoint + exhaustive
+    for any P dividing slice_mod (the scaling bench's input contract)."""
+    from sac2mseed_spark.sources.transcripts import (
+        read_transcripts_table,
+        write_transcripts_table,
+    )
+
+    path = str(tmp_path / "tt")
+    write_transcripts_table(spark, path, "t_small", slice_mod=8)
+    gen = generate_transcripts(spark, "t_small", seed=42)
+    rt = read_transcripts_table(spark, path)
+    assert rt.columns == gen.columns
+    assert rt.count() == gen.count()
+    assert rt.exceptAll(gen).count() == 0
+    assert gen.exceptAll(rt).count() == 0
+    for P in (2, 4):
+        slices = [
+            read_transcripts_table(spark, path, conv_slice=(p, P)) for p in range(P)
+        ]
+        assert sum(s.count() for s in slices) == gen.count()
+        # disjoint: same conv never appears in two slices
+        convs = [
+            set(r.conv_id for r in s.select("conv_id").distinct().collect())
+            for s in slices
+        ]
+        assert all(
+            not (convs[i] & convs[j]) for i in range(P) for j in range(i + 1, P)
+        )

@@ -373,7 +373,24 @@ def main() -> None:
         return
 
     ensure_fixture()
-    cal = cpu_calibration()
+
+    # Each expensive phase caches its raw JSON under BENCH/phases/ —
+    # SCALE_USE_CACHE=1 resumes an interrupted report from completed
+    # phases (and leaves the raw evidence on disk for the record).
+    cache_dir = os.path.join(REPO, "BENCH", "phases")
+
+    def cached(name, fn):
+        p = os.path.join(cache_dir, f"{name}.json")
+        if os.environ.get("SCALE_USE_CACHE") == "1" and os.path.exists(p):
+            with open(p) as f:
+                return json.load(f)
+        r = fn()
+        os.makedirs(cache_dir, exist_ok=True)
+        with open(p, "w") as f:
+            json.dump(r, f)
+        return r
+
+    cal = cached("cal", cpu_calibration)
 
     # This VM shares a host: /proc/stat steal swings between 0 and ~25%
     # minute to minute, swamping any single measurement. Interleave the two
@@ -387,10 +404,15 @@ def main() -> None:
     # but only ~0.76 of linear when all 32 are busy — a host-level ceiling
     # a real cluster of separate nodes does not have. The full-box 2->8
     # variant is reported alongside, with that ceiling for context.
-    rounds_n, rounds_4n = [], []
-    for _ in range(ROUNDS):
-        rounds_n.append(run_executors(1, 4))   # N  = 1 executor x 4 cores
-        rounds_4n.append(run_executors(4, 4))  # 4N = 4 executors x 4 cores
+    def gate_phase():
+        rn, r4n = [], []
+        for _ in range(ROUNDS):
+            rn.append(run_executors(1, 4))   # N  = 1 executor x 4 cores
+            r4n.append(run_executors(4, 4))  # 4N = 4 executors x 4 cores
+        return {"rounds_n": rn, "rounds_4n": r4n}
+
+    g = cached("gate_1_to_4", gate_phase)
+    rounds_n, rounds_4n = g["rounds_n"], g["rounds_4n"]
     ex_n = min(rounds_n, key=lambda r: r["wall_s"])
     ex_4n = min(rounds_4n, key=lambda r: r["wall_s"])
     raw_walls = {
@@ -399,15 +421,29 @@ def main() -> None:
     }
     ex_eff = round(ex_4n["points_per_sec"] / (4 * ex_n["points_per_sec"]), 3)
 
-    fb_n = min((run_executors(2, 4) for _ in range(2)), key=lambda r: r["wall_s"])
-    fb_4n = min((run_executors(8, 4) for _ in range(2)), key=lambda r: r["wall_s"])
+    def fullbox_phase():
+        rn, r4n = [], []
+        for _ in range(2):  # interleaved, same steal control as the gate
+            rn.append(run_executors(2, 4))
+            r4n.append(run_executors(8, 4))
+        return {"rounds_n": rn, "rounds_4n": r4n}
+
+    fbp = cached("fullbox_2_to_8", fullbox_phase)
+    fb_n = min(fbp["rounds_n"], key=lambda r: r["wall_s"])
+    fb_4n = min(fbp["rounds_4n"], key=lambda r: r["wall_s"])
+    fb_raw = {
+        "N": [(r["wall_s"], r["host_steal_frac"]) for r in fbp["rounds_n"]],
+        "4N": [(r["wall_s"], r["host_steal_frac"]) for r in fbp["rounds_4n"]],
+    }
     fb_eff = round(fb_4n["points_per_sec"] / (4 * fb_n["points_per_sec"]), 3)
 
-    sj_n = run_single_jvm(8)
-    sj_4n = run_single_jvm(32)
+    sj = cached(
+        "single_jvm", lambda: {"n": run_single_jvm(8), "4n": run_single_jvm(32)}
+    )
+    sj_n, sj_4n = sj["n"], sj["4n"]
     sj_eff = round(sj_4n["points_per_sec"] / (4 * sj_n["points_per_sec"]), 3)
 
-    k = kernel_scaling()
+    k = cached("kernel", kernel_scaling)
 
     report = {
         "cpu_calibration": cal,
@@ -477,9 +513,12 @@ to the §0 full-box host artifact, reported for transparency):
 | 2 executors x 4 cores | {fb_n["wall_s"]} | {fb_n["points_per_sec"]:,} |
 | 8 executors x 4 cores | {fb_4n["wall_s"]} | {fb_4n["points_per_sec"]:,} |
 
-Efficiency 2 -> 8 = {fb_eff} raw. Full-box numbers on this VM vary with
-host conditions (see §0); the dedicated-cores table above is the faithful
-cluster analogue and the gate measurement.
+Efficiency 2 -> 8 = {fb_eff} (interleaved best-of-2; raw walls:
+N {", ".join(f"{w}s @ steal {st:.1%}" for w, st in fb_raw["N"])} /
+4N {", ".join(f"{w}s @ steal {st:.1%}" for w, st in fb_raw["4N"])}).
+Full-box numbers on this VM vary with host conditions (see §0); the
+dedicated-cores table above is the faithful cluster analogue and the gate
+measurement.
 
 ### Methodology: interleaved best-of-{ROUNDS} (host-steal control)
 
