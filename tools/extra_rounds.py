@@ -26,22 +26,26 @@ def _save(path, obj):
         json.dump(obj, f)
 
 
+CONFIGS = {
+    # mode -> (phase file, key, n_executors)
+    "gate_n": (G, "rounds_n", 1),
+    "gate_4n": (G, "rounds_4n", 4),
+    "fb_n": (FB, "rounds_n", 2),
+    "fb_4n": (FB, "rounds_4n", 8),
+}
+
+
 def main():
     rounds = int(sys.argv[1]) if len(sys.argv) > 1 else 1
-    with open(G) as f:
-        g = json.load(f)
-    with open(FB) as f:
-        fb = json.load(f)
+    modes = sys.argv[2:] or ["gate_n", "gate_4n", "fb_n", "fb_4n"]
     for i in range(rounds):
-        g["rounds_n"].append(sb.run_executors(1, 4))
-        _save(G, g)
-        g["rounds_4n"].append(sb.run_executors(4, 4))
-        _save(G, g)
-        fb["rounds_n"].append(sb.run_executors(2, 4))
-        _save(FB, fb)
-        fb["rounds_4n"].append(sb.run_executors(8, 4))
-        _save(FB, fb)
-        print(f"extra round {i} appended", flush=True)
+        for mode in modes:
+            path, key, p = CONFIGS[mode]
+            with open(path) as f:
+                d = json.load(f)
+            d[key].append(sb.run_executors(p, 4))
+            _save(path, d)
+            print(f"round {i}: {mode} appended", flush=True)
 
 
 if __name__ == "__main__":
