@@ -469,6 +469,12 @@ def q_rat_approx(spark, sf_dir):
             * F.lit(3600000000.0)
             / (F.col("max_ts") - F.col("min_ts")).cast("double"),
         )
+        # ratapprox precondition (functions/ratapprox.py): x < ~1e9 keeps
+        # every live convergent step inside int64 on BOTH engines (Spark
+        # wraps silently, DuckDB raises — so out-of-range rows must never
+        # reach either). Degenerate microsecond-span conversations can
+        # push turns/hour past this; they carry no rate information.
+        .filter(F.col("rate_per_hour") < F.lit(1e9))
     )
     return rat_approx(g, "rate_per_hour", 1000).select(
         "conv_id",
@@ -987,7 +993,9 @@ SELECT conv_id, n_turns,
 FROM (SELECT conv_id, count(*) AS n_turns,
              min(ts_us) AS min_ts, max(ts_us) AS max_ts
       FROM m GROUP BY 1)
-WHERE n_turns >= 2 AND max_ts > min_ts"""
+WHERE n_turns >= 2 AND max_ts > min_ts
+  AND CAST(n_turns - 1 AS DOUBLE) * 3600000000.0
+        / CAST(max_ts - min_ts AS DOUBLE) < 1e9"""
     return (
         "SELECT conv_id, n_turns, round(rate_per_hour, 6) AS rate_per_hour, "
         f"rat_num, rat_den FROM ({rat_approx_sql(inner, 'rate_per_hour', 1000)})"

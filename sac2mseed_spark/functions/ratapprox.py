@@ -9,11 +9,17 @@ emitted as unrolled ANSI-SQL CTE steps (rat_approx_sql) so the DuckDB
 oracle reproduces every IEEE double op bit-for-bit.
 
 Semantics: returns the last continued-fraction convergent p/q of x with
-q <= max_den (the reference's behavior; convergents are best rational
-approximations in the |x - p/q| < 1/q^2 sense). Preconditions: x > 0 and
-x < ~1e9 (int64-overflow headroom is asserted by construction: the
-per-step quotient is clamped at 1e6, which only binds AFTER the
-denominator bound has already frozen the state).
+q <= max_den (reference-INSPIRED, not bit-matched to the reference:
+ms_ratapprox additionally bounds the NUMERATOR by maxval and rounds each
+partial quotient with a precision offset, so results differ for
+x > max_den and for near-integer partial quotients; convergents are best
+rational approximations in the |x - p/q| < 1/q^2 sense either way).
+Preconditions: x > 0 and x < ~1e9. Overflow safety: once the state
+freezes, the per-step multiplicand is zeroed (a_eff below) so frozen
+rows never keep multiplying; on live steps q1 <= max_den and the 1e6
+quotient clamp bound p2 <= ~1e6 * max_den * x < 2^63 for in-precondition
+x — the same arithmetic on both engines, so Spark (wrapping) and DuckDB
+(range-checked) can never diverge on an overflow path.
 
 Termination: a convergent step with fractional remainder <= EPS (1e-12)
 freezes the state — both engines evaluate the same clamp and the same
@@ -76,8 +82,12 @@ def rat_approx(
     for _ in range(iters_for(max_den)):
         y = F.lit(1.0) / F.when(frac > F.lit(EPS), frac).otherwise(F.lit(1.0))
         a = F.least(F.floor(y), F.lit(_A_CLAMP).cast("long"))
-        p2 = a * p1 + p0
-        q2 = a * q1 + q0
+        # frozen rows multiply by 0, not by a stale quotient: keeps every
+        # inactive step's p2/q2 at p0/q0 instead of growing toward int64
+        # wrap (where Spark wraps silently but DuckDB raises)
+        a_eff = F.when(done, F.lit(0).cast("long")).otherwise(a)
+        p2 = a_eff * p1 + p0
+        q2 = a_eff * q1 + q0
         adv = (~done) & (q2 <= F.lit(max_den))
         frac2 = F.when(adv, y - a.cast("double")).otherwise(frac)
         df = df.withColumns(
@@ -119,7 +129,7 @@ def rat_approx_sql(
     for i in range(1, iters + 1):
         steps.append(
             f"""r{i} AS (
-  SELECT * EXCLUDE (_y, _a, _p2, _q2, _adv, _frac2,
+  SELECT * EXCLUDE (_y, _a, _a_eff, _p2, _q2, _adv, _frac2,
                     _p0, _q0, _p1, _q1, _frac, _done),
          CASE WHEN _adv THEN _p1 ELSE _p0 END AS _p0,
          CASE WHEN _adv THEN _q1 ELSE _q0 END AS _q0,
@@ -132,12 +142,15 @@ def rat_approx_sql(
     FROM (
       SELECT *, (NOT _done) AND (_q2 <= {max_den}) AS _adv
       FROM (
-        SELECT *, _a * _p1 + _p0 AS _p2, _a * _q1 + _q0 AS _q2
+        SELECT *, _a_eff * _p1 + _p0 AS _p2, _a_eff * _q1 + _q0 AS _q2
         FROM (
-          SELECT *, least(CAST(floor(_y) AS BIGINT), {_A_CLAMP}) AS _a
+          SELECT *, CASE WHEN _done THEN CAST(0 AS BIGINT) ELSE _a END AS _a_eff
           FROM (
-            SELECT *, 1.0 / (CASE WHEN _frac > {EPS!r} THEN _frac ELSE 1.0 END) AS _y
-            FROM r{i - 1}
+            SELECT *, least(CAST(floor(_y) AS BIGINT), {_A_CLAMP}) AS _a
+            FROM (
+              SELECT *, 1.0 / (CASE WHEN _frac > {EPS!r} THEN _frac ELSE 1.0 END) AS _y
+              FROM r{i - 1}
+            )
           )
         )
       )

@@ -90,16 +90,42 @@ def band_edges_us(
     unaligned edge would double-serve the coarse window that straddles
     it). Ceil (not floor) keeps the finer band inside its retention
     horizon. Integer arithmetic only — the DuckDB oracle computes the
-    identical ((lo + w - 1) // w) * w."""
+    identical ((lo + w - 1) // w) * w — with precondition lo >= 0 (i.e.
+    now_us >= every finite horizon): Python ``//`` floors while SQL
+    integer division truncates toward zero, so a negative lo would
+    ceil-align differently across engines (raised, not silent).
+
+    Horizons must be monotone: each coarser tier's horizon >= the finer
+    tier's (None = forever = always coarsest-compatible). A coarser
+    horizon SHORTER than a finer one would make bands overlap — rows in
+    [edge_coarse, edge_fine) served by both the finer and the coarsest
+    tier — so it raises instead of silently double-serving points."""
     from .. import TIERS
 
     hz = horizons or DEFAULT_HORIZONS_US
+    for finer, coarser in zip(order, order[1:]):
+        hf, hc = hz[finer], hz[coarser]
+        # a finer tier kept forever (hf None) legally SHADOWS every
+        # coarser tier (serve_tiered empties their bands); the overlap
+        # hazard is only a finite coarser horizon shorter than a finite
+        # finer one
+        if hc is not None and hf is not None and hc < hf:
+            raise ValueError(
+                f"non-monotone retention horizons: tier {coarser!r} keeps "
+                f"{hc} us but finer tier {finer!r} keeps {hf} us"
+            )
     edges: list[int | None] = []
     for finer, coarser in zip(order, order[1:]):
         lo = retention_bound_us(finer, now_us, hz)
         if lo is None:
             edges.append(None)  # finer tier retained forever
         else:
+            if lo < 0:
+                raise ValueError(
+                    f"band-edge precondition violated: now_us - horizon = "
+                    f"{lo} < 0 for tier {finer!r} (dataset younger than its "
+                    f"horizon at epoch-near timestamps)"
+                )
             w = TIERS[coarser]
             edges.append(((lo + w - 1) // w) * w)
     return edges

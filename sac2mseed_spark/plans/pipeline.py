@@ -5,33 +5,71 @@ snapshot subdirectories (``snap_00000001/``, ``snap_00000002/``, … each a
 parquet dir of new transcript rows — the shape an Iceberg incremental read
 between two snapshot ids yields). The engine state is:
 
-  tiers/v{n}/{tier}/       tier tables after snapshot n   (parquet)
+  tiers/{tier}/d{n}[h]/    MERGE-on-read delta chain per aggregate tier
+  tiers/_convstate/d{n}/   per-conversation carry state, same chain form
+  packed/{tier}/d{n}[h]/   packed-payload delta chain
   metrics/                 append-only rollup-count + lineage table
+  retention/               eviction-sweep accounting table
+  heal_pending/d{n}/       conversations flagged out-of-order at snapshot n
   _checkpoint.json         atomically-committed resume token
 
+EVERY table family is a delta chain: snapshot n writes ONLY the rows its
+delta touches to a ``d{n}`` directory, and reads resolve
+latest-version-wins per key (aggregate tiers and packed tiers key on
+(conv_id, window_start_us); conv state keys on conv_id). Per-snapshot
+write volume is therefore proportional to the delta, not the table — the
+reference merges into only the touched trace the same way
+(/root/reference/libmseed/tracelist.c:135-606 fast paths), and an Iceberg
+deployment expresses the same chain as MERGE + positional deletes (no
+Iceberg jars in this sandbox, so parquet dirs + this resolver stand in).
+``compact()`` is the rewrite_data_files analogue that folds a long chain
+back into one base directory.
+
 Cross-snapshot state (the StreamState analogue, /root/reference/libmseed/
-libmseed.h:458-465): each version also persists a per-conversation state
-table ``(conv_id, last_turn_idx, last_ts_us)`` so the first turn of a
+libmseed.h:458-465): each snapshot also writes the touched conversations'
+new ``(conv_id, last_turn_idx, last_ts_us)`` so the first turn of a
 conversation's continuation in the next snapshot gets its true inter-turn
 latency — exactly how record N+1's first Steim difference is seeded from
 record N's last sample (pack.c:1003-1039). With that carry, the merged
-tiers are bit-identical to a full batch recompute over all snapshots
-(append-ordered snapshots assumed; out-of-order backfill belongs to a
-batch recompute, like the reference's heal pass).
+tiers are bit-identical to a full batch recompute over all snapshots for
+append-ordered input (tests assert).
+
+Out-of-order input and the heal pass (the mst_groupheal analogue,
+/root/reference/src/../libmseed/traceutils.c:776-915): a snapshot whose
+minimum turn_idx for a conversation is <= the carried last_turn_idx is
+out-of-order — its within-snapshot latencies were derived against the
+wrong predecessor. ``_process_one`` still rolls it in (the aggregate
+merge is order-insensitive in structure, only the affected latency VALUES
+are provisional) and records the affected conv_ids under
+``heal_pending/``. ``heal()`` then re-derives ONLY those conversations
+from all raw snapshots and writes corrective ``d{n}h`` chain entries
+(ranked after ``d{n}``) for every table family — after which all tiers
+are byte-identical to a full recompute (tests assert), and incremental
+processing resumes unchanged.
+
+Retention (downsample-and-expire): ``apply_retention`` commits per-tier
+eviction BOUNDS into the checkpoint — eviction is a pure predicate on
+window_start_us applied by every chain read, i.e. the metadata-only
+``DELETE WHERE window_start_us < bound`` of operators/retention.py, with
+the sweep accounting row written to ``retention/``. No data files are
+touched until ``compact()`` reclaims the space physically.
 
 Resume protocol (the fpos analogue, /root/reference/libmseed/
 fileutils.c:367-384, recast as snapshot ids per the north rule):
 
   1. read _checkpoint.json -> last committed version n
-  2. for each unprocessed snapshot n+1…: tiers/v{n+1} = merge(tiers/v{n},
-     rollup(snapshot n+1)) — written BEFORE the checkpoint advances
+  2. for snapshot n+1: write the d{n+1} delta dirs of every family —
+     BEFORE the checkpoint advances
   3. append metrics, then atomic-rename the new _checkpoint.json
 
-A crash between (2) and (3) leaves an orphan v{n+1} directory that the
-rerun simply overwrites — re-aggregation is deterministic and the merge is
-integer-exact-associative (operators/rollup.py contract), so replaying a
-snapshot is idempotent. Nothing is double-counted because the merge always
-reads the last COMMITTED version, never the orphan.
+A crash between (2) and (3) leaves orphan d{n+1} directories that the
+rerun simply overwrites — re-aggregation is deterministic and the merge
+is integer-exact-associative (operators/rollup.py contract), so replaying
+a snapshot is idempotent: the chain resolver never reads past the
+committed version, so nothing is double-counted. Rollup-count totals in
+the metrics table are maintained ARITHMETICALLY (previous committed
+totals + delta-sized aggregates, crash-safe inside the same checkpoint),
+never by re-scanning the table.
 """
 
 from __future__ import annotations
@@ -39,18 +77,25 @@ from __future__ import annotations
 import json
 import os
 import re
+import shutil
 import time
 import uuid
+from functools import reduce
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .. import TIERS
 from ..functions.metrics import derive_turn_metrics
+from ..operators.retention import retention_bound_us, retention_sweep
 from ..operators.rollup import TIER_AGG_COLS, rollup_from_turns, window_start_col
 
 _SNAP_RE = re.compile(r"^snap_(\d+)$")
-_DELTA_RE = re.compile(r"^d(\d+)$")
+# d{version}[h]: plain snapshot deltas rank before the heal delta of the
+# same version ('' < 'h' lexicographically — latest-wins reads pick heal)
+_DELTA_RE = re.compile(r"^d(\d+)(h?)$")
+
+_WINDOW_KEYS = ["conv_id", "window_start_us"]
 
 
 def list_snapshots(input_dir: str) -> list[tuple[int, str]]:
@@ -65,7 +110,9 @@ def list_snapshots(input_dir: str) -> list[tuple[int, str]]:
 def merge_tier(existing: DataFrame | None, delta: DataFrame) -> DataFrame:
     """Continuous-aggregate MERGE: integer-domain re-aggregation of
     (existing ∪ delta) per (conv_id, window) — exactly associative, so
-    merged == full recompute bit-for-bit (tests assert)."""
+    merged == full recompute bit-for-bit (tests assert). Callers pass
+    only the TOUCHED windows of ``existing`` (a semi-join on the delta's
+    keys), keeping this merge delta-sized."""
     src = delta if existing is None else existing.unionByName(delta)
     return (
         src.groupBy("conv_id", "window_start_us", "tier")
@@ -86,32 +133,23 @@ def merge_tier(existing: DataFrame | None, delta: DataFrame) -> DataFrame:
 class IncrementalRollup:
     """Resumable snapshot-by-snapshot tier maintenance with lineage.
 
-    Maintains BOTH tier families incrementally:
+    Maintains aggregate tiers, packed payload tiers, and conversation
+    carry state as MERGE-on-read delta chains (module doc). Packed-tier
+    snapshots re-encode ONLY the windows the delta touches (windows are
+    self-delimiting, so untouched blobs are reusable as-is — the
+    reference's incremental record emission,
+    /root/reference/libmseed/pack.c:70-395): re-encoding a touched window
+    decodes its previous blob, restores each old point's turn_idx from
+    the conversation's cumulative window point counts (metadata only —
+    no other window is decoded), unions the delta points, and packs.
+    The result is byte-identical to a full batch pack_tier over all
+    snapshots (tests assert).
 
-      * aggregate tiers — integer-exact merge per (conv_id, window)
-        (merge_tier above)
-      * packed payload tiers (``pack_tiers``) — per snapshot, ONLY the
-        windows the delta touches are re-encoded (windows are
-        self-delimiting, so untouched blobs are reusable as-is — the
-        reference's incremental record emission,
-        /root/reference/libmseed/pack.c:70-395). Re-encoding a touched
-        window decodes its previous blob, restores each old point's
-        turn_idx from the conversation's cumulative window point counts
-        (metadata only — no other window is decoded), unions the delta
-        points, and packs. The result is byte-identical to a full batch
-        pack_tier over all snapshots (tests assert).
-
-        Each snapshot writes only the re-encoded windows to
-        ``packed/{tier}/d{version}/`` — a MERGE-on-read delta chain, the
-        parquet standin for an Iceberg MERGE (no Iceberg jars in this
-        sandbox); packed_tier() resolves latest-version-per-window at
-        read. At 100 TB this keeps per-snapshot write volume proportional
-        to the delta, not the table.
-
-        Preconditions (same contract as repack_tier and the conv-state
-        carry): append-ordered snapshots, dense per-conversation turn_idx
-        from 0, ts monotone w.r.t. turn_idx. Out-of-order backfill
-        belongs to a batch recompute, like the reference's heal pass.
+    Preconditions for the incremental fast path: append-ordered
+    snapshots, dense per-conversation turn_idx from 0, ts monotone
+    w.r.t. turn_idx. Out-of-order input is detected per conversation and
+    repaired by ``heal()`` (module doc) rather than silently corrupting
+    the fast path.
     """
 
     def __init__(
@@ -128,12 +166,22 @@ class IncrementalRollup:
         os.makedirs(work_dir, exist_ok=True)
         self.ckpt_path = os.path.join(work_dir, "_checkpoint.json")
 
-    # -- state ----------------------------------------------------------
+    # -- checkpoint -----------------------------------------------------
     def _read_ckpt(self) -> dict:
         if not os.path.exists(self.ckpt_path):
-            return {"version": 0, "run_id": str(uuid.uuid4())}
+            return {
+                "version": 0,
+                "run_id": str(uuid.uuid4()),
+                "totals": {},
+                "healed_through": 0,
+                "retention_bounds": {},
+            }
         with open(self.ckpt_path) as f:
-            return json.load(f)
+            state = json.load(f)
+        state.setdefault("totals", {})
+        state.setdefault("healed_through", 0)
+        state.setdefault("retention_bounds", {})
+        return state
 
     def _commit_ckpt(self, state: dict) -> None:
         tmp = self.ckpt_path + ".tmp"
@@ -141,55 +189,98 @@ class IncrementalRollup:
             json.dump(state, f)
         os.replace(tmp, self.ckpt_path)  # atomic commit
 
-    def _tier_path(self, version: int, tier: str) -> str:
-        return os.path.join(self.work_dir, "tiers", f"v{version:08d}", tier)
+    # -- chain layout ---------------------------------------------------
+    def _tier_base(self, tier: str) -> str:
+        return os.path.join(self.work_dir, "tiers", tier)
 
-    def _state_path(self, version: int) -> str:
-        return os.path.join(self.work_dir, "tiers", f"v{version:08d}", "_convstate")
+    def _state_base(self) -> str:
+        return os.path.join(self.work_dir, "tiers", "_convstate")
 
-    def conv_state(self, version: int) -> DataFrame | None:
-        if version == 0:
-            return None
-        return self.spark.read.parquet(self._state_path(version))
+    def _packed_base(self, tier: str) -> str:
+        return os.path.join(self.work_dir, "packed", tier)
 
-    def tier(self, tier: str, version: int | None = None) -> DataFrame | None:
-        v = version if version is not None else self._read_ckpt()["version"]
-        if v == 0:
-            return None
-        return self.spark.read.parquet(self._tier_path(v, tier))
+    def _pending_base(self) -> str:
+        return os.path.join(self.work_dir, "heal_pending")
+
+    def _delta_path(self, base: str, version: int, heal: bool = False) -> str:
+        return os.path.join(base, f"d{version:08d}" + ("h" if heal else ""))
 
     def _packed_delta_path(self, version: int, tier: str) -> str:
-        return os.path.join(self.work_dir, "packed", tier, f"d{version:08d}")
+        return self._delta_path(self._packed_base(tier), version)
 
-    def packed_tier(self, tier: str, version: int | None = None) -> DataFrame | None:
-        """Packed tier table at a version: MERGE-on-read over the delta
-        chain — union every committed delta dir and keep the
-        latest-version row per (conv_id, window). One shuffle on the
-        window key at read; an Iceberg MERGE would resolve this with
-        positional deletes instead (sandbox standin, see class doc)."""
-        v = version if version is not None else self._read_ckpt()["version"]
-        base = os.path.join(self.work_dir, "packed", tier)
+    def _chain_dirs(self, base: str, version: int) -> list[str]:
+        """Committed chain entries <= version, in resolution order
+        (ascending version; a heal entry ranks after its plain twin)."""
         if not os.path.isdir(base):
-            return None
-        deltas = []
-        for name in sorted(os.listdir(base)):
+            return []
+        entries = []
+        for name in os.listdir(base):
             m = _DELTA_RE.match(name)
-            if m and int(m.group(1)) <= v:
-                deltas.append((int(m.group(1)), os.path.join(base, name)))
-        if not deltas:
+            if m and int(m.group(1)) <= version:
+                entries.append((int(m.group(1)), m.group(2), name))
+        return [os.path.join(base, n) for _, _, n in sorted(entries)]
+
+    def _resolve_chain(
+        self,
+        base: str,
+        version: int,
+        keys: list[str],
+        touched: DataFrame | None = None,
+        bound_us: int | None = None,
+    ) -> DataFrame | None:
+        """MERGE-on-read: union the chain <= version, latest-version-wins
+        per key. ``touched`` (a keys-only DataFrame) semi-joins each
+        chain entry down to the rows a merge needs — with parquet row-group
+        min/max stats this prunes most of each delta file; Iceberg would
+        prune at manifest level. ``bound_us`` applies the committed
+        retention predicate (metadata-only DELETE, module doc)."""
+        dirs = self._chain_dirs(base, version)
+        if not dirs:
             return None
-        parts = [
-            self.spark.read.parquet(p).withColumn("_v", F.lit(i))
-            for i, p in deltas
-        ]
-        df = parts[0]
-        for p in parts[1:]:
-            df = df.unionByName(p)
-        w = Window.partitionBy("conv_id", "window_start_us").orderBy(F.desc("_v"))
+        parts = []
+        for i, path in enumerate(dirs):
+            df = self.spark.read.parquet(path)
+            if touched is not None:
+                df = df.join(touched, keys, "left_semi")
+            parts.append(df.withColumn("_v", F.lit(i)))
+        df = reduce(DataFrame.unionByName, parts)
+        if bound_us is not None:
+            df = df.filter(F.col("window_start_us") >= F.lit(bound_us))
+        w = Window.partitionBy(*keys).orderBy(F.desc("_v"))
         return (
             df.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1)
             .drop("_v", "_rn")
+        )
+
+    # -- readers --------------------------------------------------------
+    def conv_state(self, version: int) -> DataFrame | None:
+        if version == 0:
+            return None
+        return self._resolve_chain(self._state_base(), version, ["conv_id"])
+
+    def tier(self, tier: str, version: int | None = None) -> DataFrame | None:
+        state = self._read_ckpt()
+        v = version if version is not None else state["version"]
+        if v == 0:
+            return None
+        return self._resolve_chain(
+            self._tier_base(tier),
+            v,
+            _WINDOW_KEYS,
+            bound_us=state["retention_bounds"].get(tier),
+        )
+
+    def packed_tier(self, tier: str, version: int | None = None) -> DataFrame | None:
+        state = self._read_ckpt()
+        v = version if version is not None else state["version"]
+        if v == 0:
+            return None
+        return self._resolve_chain(
+            self._packed_base(tier),
+            v,
+            _WINDOW_KEYS,
+            bound_us=state["retention_bounds"].get(tier),
         )
 
     def metrics_table(self) -> DataFrame | None:
@@ -200,6 +291,12 @@ class IncrementalRollup:
         if not snaps:  # empty dir or stray non-snapshot files
             return None
         return self.spark.read.parquet(os.path.join(p, "snap_*"))
+
+    def retention_table(self) -> DataFrame | None:
+        p = os.path.join(self.work_dir, "retention")
+        if not os.path.isdir(p) or not os.listdir(p):
+            return None
+        return self.spark.read.parquet(os.path.join(p, "sweep_*"))
 
     # -- processing -----------------------------------------------------
     def process_pending(self) -> int:
@@ -223,8 +320,19 @@ class IncrementalRollup:
         prev_version = state["version"]
 
         # StreamState carry: seed each conversation's first-in-snapshot
-        # latency from the previous snapshot's last turn
-        prev_state = self.conv_state(prev_version)
+        # latency from the previous snapshot's last turn. The state read
+        # is delta-sized too: only the snapshot's own conversations are
+        # resolved down the chain.
+        prev_state = (
+            None
+            if prev_version == 0
+            else self._resolve_chain(
+                self._state_base(),
+                prev_version,
+                ["conv_id"],
+                touched=raw.select("conv_id").distinct(),
+            )
+        )
         if prev_state is not None:
             delta_m = delta_m.join(prev_state, "conv_id", "left").withColumn(
                 "latency_us",
@@ -232,46 +340,109 @@ class IncrementalRollup:
                     F.col("latency_us"), F.col("ts_us") - F.col("last_ts_us")
                 ),
             ).drop("last_turn_idx", "last_ts_us")
+        delta_m = delta_m.persist()
 
-        # advance the state: last (turn_idx, ts) per conversation
-        delta_last = delta_m.groupBy("conv_id").agg(
-            F.max(F.struct("turn_idx", "ts_us")).alias("_last")
-        )
-        src = delta_last if prev_state is None else delta_last.unionByName(
-            prev_state.select(
-                "conv_id",
-                F.struct(
-                    F.col("last_turn_idx").alias("turn_idx"),
-                    F.col("last_ts_us").alias("ts_us"),
-                ).alias("_last"),
+        # per-conversation span of this delta: min turn (out-of-order
+        # detection) and max (turn, ts) (state advance) in one aggregate
+        delta_span = delta_m.groupBy("conv_id").agg(
+            F.min("turn_idx").alias("_min_turn"),
+            F.max(F.struct("turn_idx", "ts_us")).alias("_new"),
+        ).persist()
+
+        # out-of-order detection (heal trigger, module doc): arriving
+        # turns at or before the carried last_turn_idx mean this
+        # conversation's derived latencies are provisional until heal()
+        if prev_state is not None:
+            ooo = (
+                delta_span.join(prev_state, "conv_id")
+                .filter(F.col("_min_turn") <= F.col("last_turn_idx"))
+                .select("conv_id")
             )
-        )
-        new_state = src.groupBy("conv_id").agg(F.max("_last").alias("_last")).select(
+            if ooo.limit(1).count() > 0:
+                ooo.write.mode("overwrite").parquet(
+                    self._delta_path(self._pending_base(), snap_id)
+                )
+
+        # conv-state delta: ONLY the touched conversations' new last turn
+        if prev_state is None:
+            new_state = delta_span.select("conv_id", F.col("_new").alias("_l"))
+        else:
+            new_state = delta_span.join(prev_state, "conv_id", "left").select(
+                "conv_id",
+                F.greatest(
+                    F.col("_new"),
+                    F.when(
+                        F.col("last_turn_idx").isNotNull(),
+                        F.struct(
+                            F.col("last_turn_idx").alias("turn_idx"),
+                            F.col("last_ts_us").alias("ts_us"),
+                        ),
+                    ),
+                ).alias("_l"),
+            )
+        new_state.select(
             "conv_id",
-            F.col("_last.turn_idx").alias("last_turn_idx"),
-            F.col("_last.ts_us").alias("last_ts_us"),
+            F.col("_l.turn_idx").alias("last_turn_idx"),
+            F.col("_l.ts_us").alias("last_ts_us"),
+        ).write.mode("overwrite").parquet(
+            self._delta_path(self._state_base(), snap_id)
         )
-        new_state.write.mode("overwrite").parquet(self._state_path(snap_id))
+
         lineage_files = sorted(
             f for f in os.listdir(snap_path) if f.endswith(".parquet")
         )
         metric_rows = []
         for tier in TIERS:
-            delta = rollup_from_turns(delta_m, tier)
-            merged = merge_tier(self.tier(tier, prev_version), delta)
-            out = self._tier_path(snap_id, tier)
+            delta = rollup_from_turns(delta_m, tier).select(
+                "conv_id", "window_start_us", *TIER_AGG_COLS, "tier"
+            )
+            # late data older than the committed retention bound is
+            # dropped at ingest — it would be invisible (read-filtered)
+            # and immediately eviction-eligible anyway, and admitting it
+            # would let the running totals drift from what reads see
+            lo = state["retention_bounds"].get(tier)
+            if lo is not None:
+                delta = delta.filter(F.col("window_start_us") >= F.lit(lo))
+            delta = delta.persist()
+            # previous values of ONLY the touched windows — a semi-join
+            # down the chain, never a full-table read (class doc)
+            prev_rows = self._resolve_chain(
+                self._tier_base(tier),
+                prev_version,
+                _WINDOW_KEYS,
+                touched=delta.select(*_WINDOW_KEYS),
+                bound_us=state["retention_bounds"].get(tier),
+            )
+            merged = merge_tier(prev_rows, delta)
+            out = self._delta_path(self._tier_base(tier), snap_id)
             merged.write.mode("overwrite").parquet(out)
-            stats = self.spark.read.parquet(out).agg(
-                F.count(F.lit(1)).alias("n_windows"),
-                F.sum("n_points").alias("n_points"),
-            ).collect()[0]
+
+            # rollup-count totals: previous committed totals + delta-sized
+            # aggregates — NEVER an O(table) rescan. New windows = touched
+            # minus previously-existing touched; new points = merged sum
+            # minus previous touched sum.
+            def _stats(df):
+                if df is None:
+                    return 0, 0
+                r = df.agg(
+                    F.count(F.lit(1)).alias("w"),
+                    F.coalesce(F.sum("n_points"), F.lit(0)).alias("p"),
+                ).collect()[0]
+                return int(r["w"]), int(r["p"])
+
+            prev_w, prev_p = _stats(prev_rows)
+            new_w, new_p = _stats(self.spark.read.parquet(out))
+            tot = state["totals"].setdefault(tier, {"n_windows": 0, "n_points": 0})
+            tot["n_windows"] += new_w - prev_w
+            tot["n_points"] += new_p - prev_p
+            delta.unpersist()
             metric_rows.append(
                 (
                     state["run_id"],
                     snap_id,
                     tier,
-                    int(stats["n_windows"]),
-                    int(stats["n_points"]),
+                    int(tot["n_windows"]),
+                    int(tot["n_points"]),
                     ",".join(lineage_files),
                     float(time.time() - t0),
                 )
@@ -290,6 +461,8 @@ class IncrementalRollup:
         )
         for tier in self.pack_tiers:
             self._update_packed(prev_version, snap_id, delta_m, tier)
+        delta_span.unpersist()
+        delta_m.unpersist()
 
     def _update_packed(
         self, prev_version: int, snap_id: int, delta_m: DataFrame, tier: str
@@ -305,6 +478,12 @@ class IncrementalRollup:
             F.col("latency_us").cast("double").alias("latency_us"),
             F.col("token_count").cast("double").alias("token_count"),
         )
+        # same ingest-time retention drop as the aggregate path
+        lo = self._read_ckpt()["retention_bounds"].get(tier)
+        if lo is not None:
+            delta_pts = delta_pts.filter(
+                window_start_col(F.col("ts_us"), tier) >= F.lit(lo)
+            )
         prev = self.packed_tier(tier, prev_version)
         if prev is None:
             pts = delta_pts
@@ -347,3 +526,168 @@ class IncrementalRollup:
         pack_tier(pts, tier).write.mode("overwrite").parquet(
             self._packed_delta_path(snap_id, tier)
         )
+
+    # -- heal (mst_groupheal analogue) ----------------------------------
+    def heal(self) -> int:
+        """Repair every conversation flagged out-of-order since the last
+        heal: re-derive its per-turn metrics from ALL raw snapshots (the
+        batch path is order-insensitive), then write corrective ``d{v}h``
+        chain entries for every table family — aggregate tiers, packed
+        tiers, conv state. Afterwards all reads are byte-identical to a
+        full recompute (tests assert) and incremental mode resumes.
+
+        The reference's analogue walks a broken trace group and re-sorts
+        / re-merges its segments in place (mst_groupheal,
+        /root/reference/libmseed/traceutils.c:776-915; out-of-order
+        insertion tracelist.c:392-556); here the "group" is the affected
+        conversation set and the repair is a scoped batch recompute —
+        O(affected conversations), never O(table).
+
+        Crash-safe: heal dirs are deterministic overwrites keyed by the
+        committed version; ``healed_through`` advances only after every
+        family's dir is written, so a mid-heal crash replays clean.
+        Returns the number of conversations healed."""
+        state = self._read_ckpt()
+        v = state["version"]
+        if v == 0:
+            return 0
+        pend_dirs = [
+            p
+            for p in self._chain_dirs(self._pending_base(), v)
+            if int(_DELTA_RE.match(os.path.basename(p)).group(1))
+            > state["healed_through"]
+        ]
+        if not pend_dirs:
+            return 0
+        convs = (
+            reduce(
+                DataFrame.unionByName,
+                [self.spark.read.parquet(p) for p in pend_dirs],
+            )
+            .select("conv_id")
+            .distinct()
+            .persist()
+        )
+        n_convs = convs.count()
+        if n_convs:
+            snap_paths = [
+                p for sid, p in list_snapshots(self.input_dir) if sid <= v
+            ]
+            raw = self.spark.read.parquet(*snap_paths).join(
+                convs, "conv_id", "left_semi"
+            )
+            healed_m = derive_turn_metrics(raw).persist()
+            for tier in TIERS:
+                rows = rollup_from_turns(healed_m, tier).select(
+                    "conv_id", "window_start_us", *TIER_AGG_COLS, "tier"
+                )
+                # respect committed evictions: healed rows never resurrect
+                # windows behind the retention bound
+                lo = state["retention_bounds"].get(tier)
+                if lo is not None:
+                    rows = rows.filter(F.col("window_start_us") >= F.lit(lo))
+                rows.write.mode("overwrite").parquet(
+                    self._delta_path(self._tier_base(tier), v, heal=True)
+                )
+            from ..operators.pack import pack_tier
+
+            for tier in self.pack_tiers:
+                packed = pack_tier(healed_m, tier)
+                lo = state["retention_bounds"].get(tier)
+                if lo is not None:
+                    packed = packed.filter(F.col("window_start_us") >= F.lit(lo))
+                packed.write.mode("overwrite").parquet(
+                    self._delta_path(self._packed_base(tier), v, heal=True)
+                )
+            healed_m.groupBy("conv_id").agg(
+                F.max(F.struct("turn_idx", "ts_us")).alias("_l")
+            ).select(
+                "conv_id",
+                F.col("_l.turn_idx").alias("last_turn_idx"),
+                F.col("_l.ts_us").alias("last_ts_us"),
+            ).write.mode("overwrite").parquet(
+                self._delta_path(self._state_base(), v, heal=True)
+            )
+            healed_m.unpersist()
+        convs.unpersist()
+        state["healed_through"] = v
+        self._commit_ckpt(state)
+        return n_convs
+
+    # -- retention (downsample-and-expire) ------------------------------
+    def apply_retention(self, now_us: int, horizons=None) -> DataFrame:
+        """Evict expired windows per tier: commit the per-tier retention
+        bound into the checkpoint (a pure predicate every chain read
+        applies — the metadata-only DELETE of operators/retention.py;
+        Iceberg drops the partitions in metadata the same way), update
+        the running totals by the evicted counts, and write the sweep
+        accounting to the ``retention/`` table. Physical space is
+        reclaimed later by ``compact()``. Returns the accounting rows."""
+        state = self._read_ckpt()
+        v = state["version"]
+        tiers = {
+            t: df
+            for t in TIERS
+            if (df := self.tier(t, v)) is not None
+        }
+        sweep = retention_sweep(tiers, now_us, horizons) if tiers else None
+        rows = sweep.collect() if sweep is not None else []
+        acct = self.spark.createDataFrame(
+            [
+                (int(now_us), r["tier"], r["n_kept"], r["n_evicted"],
+                 r["pts_kept"], r["pts_evicted"])
+                for r in rows
+            ],
+            "swept_at_us long, tier string, n_kept long, n_evicted long,"
+            " pts_kept long, pts_evicted long",
+        )
+        acct.write.mode("overwrite").parquet(
+            os.path.join(self.work_dir, "retention", f"sweep_{now_us:020d}")
+        )
+        for r in rows:
+            tier = r["tier"]
+            lo = retention_bound_us(tier, now_us, horizons)
+            if lo is None:
+                continue
+            old = state["retention_bounds"].get(tier)
+            state["retention_bounds"][tier] = max(old or lo, lo)
+            tot = state["totals"].get(tier)
+            if tot is not None:
+                tot["n_windows"] -= int(r["n_evicted"])
+                tot["n_points"] -= int(r["pts_evicted"])
+        self._commit_ckpt(state)
+        return acct
+
+    # -- maintenance ----------------------------------------------------
+    def compact(self) -> None:
+        """Fold every chain into a single base directory at the committed
+        version (Iceberg's rewrite_data_files maintenance action): resolve
+        latest-wins + retention bounds, rewrite, drop the old entries.
+        Reads before/after are row-identical (tests assert). The parquet
+        standin's directory swap is not crash-atomic the way an Iceberg
+        metadata swap is — run it in a maintenance window."""
+        state = self._read_ckpt()
+        v = state["version"]
+        if v == 0:
+            return
+        jobs = [
+            (self._tier_base(t), _WINDOW_KEYS, state["retention_bounds"].get(t))
+            for t in TIERS
+        ]
+        jobs += [
+            (self._packed_base(t), _WINDOW_KEYS, state["retention_bounds"].get(t))
+            for t in self.pack_tiers
+        ]
+        jobs.append((self._state_base(), ["conv_id"], None))
+        for base, keys, bound in jobs:
+            resolved = self._resolve_chain(base, v, keys, bound_us=bound)
+            if resolved is None:
+                continue
+            tmp = os.path.join(base, "_compact_tmp")
+            resolved.write.mode("overwrite").parquet(tmp)
+            for p in self._chain_dirs(base, v):
+                shutil.rmtree(p)
+            os.replace(tmp, self._delta_path(base, v))
+        # pending entries at or before the healed watermark are spent
+        for p in self._chain_dirs(self._pending_base(), state["healed_through"]):
+            shutil.rmtree(p)

@@ -102,6 +102,19 @@ def test_metrics_lineage(spark, snapshots, tmp_path):
     n_turns = full_t.count()
     last = {r["tier"]: r["n_points"] for r in rows if r["snapshot_id"] == 3}
     assert set(last.values()) == {n_turns}
+    # running totals (maintained arithmetically from delta-sized stats,
+    # never an O(table) rescan) match a direct scan at EVERY version
+    for snap_id in (1, 2, 3):
+        per_tier = {
+            r["tier"]: r for r in rows if r["snapshot_id"] == snap_id
+        }
+        for tier in ("1m", "1h", "1d"):
+            direct = inc.tier(tier, version=snap_id).agg(
+                F.count(F.lit(1)).alias("w"),
+                F.sum("n_points").alias("p"),
+            ).collect()[0]
+            assert per_tier[tier]["n_windows"] == direct["w"]
+            assert per_tier[tier]["n_points"] == direct["p"]
     # checkpoint file records version 3
     with open(os.path.join(work, "_checkpoint.json")) as f:
         assert json.load(f)["version"] == 3

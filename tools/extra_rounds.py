@@ -36,6 +36,7 @@ CONFIGS = {
 
 
 def main():
+    sb.ensure_fixture()  # rebuild the parquet fixture if /tmp was cleaned
     rounds = int(sys.argv[1]) if len(sys.argv) > 1 else 1
     modes = sys.argv[2:] or ["gate_n", "gate_4n", "fb_n", "fb_4n"]
     for i in range(rounds):

@@ -156,6 +156,36 @@ def worker(cores: int) -> None:
     )
 
 
+def _counts_cache_path() -> str:
+    return os.path.join(FIXTURE_DIR, "_COUNTS.json")
+
+
+def _cached_counts(p: int, n_exec: int) -> tuple[int, int] | None:
+    try:
+        with open(_counts_cache_path()) as f:
+            v = json.load(f).get(f"{p}/{n_exec}")
+        return (int(v[0]), int(v[1])) if v else None
+    except (OSError, ValueError):
+        return None
+
+
+def _store_counts(p: int, n_exec: int, n_turns: int, rolled: int) -> None:
+    # per-slice counts are deterministic (seeded fixture), so a
+    # last-writer-wins race between executors is harmless: all writers
+    # hold identical values for their own key and rereads self-repair
+    path = _counts_cache_path()
+    try:
+        with open(path) as f:
+            d = json.load(f)
+    except (OSError, ValueError):
+        d = {}
+    d[f"{p}/{n_exec}"] = [n_turns, rolled]
+    tmp = f"{path}.tmp.{os.getpid()}"
+    with open(tmp, "w") as f:
+        json.dump(d, f)
+    os.replace(tmp, path)
+
+
 def exec_worker(p: int, n_exec: int, cores: int) -> None:
     sys.path.insert(0, REPO)
     # per-executor heap sized like a real 4-core executor (constant spec at
@@ -169,10 +199,23 @@ def exec_worker(p: int, n_exec: int, cores: int) -> None:
         f"exec_{p}_{n_exec}", master=f"local[{cores}]", shuffle_partitions=2 * cores
     )
     spark.sparkContext.setLogLevel("ERROR")
-    # warm-up iteration (codegen + python workers + heap), then a barrier so
-    # every executor's TIMED iteration runs concurrently with the others' —
-    # like a real cluster job, where all executors work at once
-    n_turns, rolled, _ = _pipeline_once(spark, conv_slice=(p, n_exec))
+    # Warm-up must run the EXACT plan shape of the timed iteration
+    # (with_counts=False) — the count and noop-write variants are
+    # different Catalyst plans, and warming only the former left ~20s of
+    # analysis+codegen compile inside the timed region (the round-3
+    # "cascade floor": 22.98s at 4N for a job whose warm wall is ~6s).
+    # The slice's deterministic n_turns/rolled_points come from a sidecar
+    # cache when available (the expensive count pass runs once per slice
+    # EVER, not once per round), so each round is: warm noop pass ->
+    # barrier -> timed noop pass, all executors in lockstep like a real
+    # cluster job.
+    cached = _cached_counts(p, n_exec)
+    if cached is None:
+        n_turns, rolled, _ = _pipeline_once(spark, conv_slice=(p, n_exec))
+        _store_counts(p, n_exec, n_turns, rolled)
+    else:
+        n_turns, rolled = cached
+    _pipeline_once(spark, conv_slice=(p, n_exec), with_counts=False)
     if barrier_dir:
         open(os.path.join(barrier_dir, f"warm_{p}"), "w").close()
         while not os.path.exists(os.path.join(barrier_dir, "GO")):
