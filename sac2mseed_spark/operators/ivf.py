@@ -50,6 +50,73 @@ def _centroid_matrix(corpus: DataFrame, id_col: str, vec_col: str, n: int):
     return cids, M, np.sqrt(_seq_dot(M, M))
 
 
+def train_centroids(
+    corpus: DataFrame,
+    n_centroids: int = N_CENTROIDS,
+    n_iters: int = 10,
+    sample_cap: int = 4096,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Sampled spherical k-means trainer — the production centroid path
+    (module doc): a deterministic hash-sample of the corpus is collected
+    to the driver (the 'offline training' step; at 100 TB the sample cap,
+    not the corpus, bounds driver memory), Lloyd-iterated under cosine
+    similarity, and the resulting (cids, matrix, norms) tuple broadcasts
+    exactly like the medoid seed. Fully deterministic: xxhash64 sampling,
+    medoid-seeded init, stable ties to the lowest centroid id, empty
+    clusters keep their previous centroid.
+
+    Returns the same (cids, M, norms) tuple _centroid_matrix returns, so
+    ``knn_ivf(..., centroids=train_centroids(corpus))`` swaps the index
+    seed without touching the assignment/probe/re-rank pipeline. cids are
+    0..n-1 (trained centroids are synthetic points, not corpus rows)."""
+    n_rows = corpus.count()
+    # deterministic ~sample_cap-row hash sample (no Spark RNG, no seed
+    # state): keep ids whose 64-bit hash falls in a fixed fraction
+    mod = max(int(n_rows // sample_cap), 1)
+    rows = (
+        corpus.select(
+            F.col(id_col).cast("long").alias("sid"), F.col(vec_col).alias("sv")
+        )
+        .filter(F.pmod(F.xxhash64(F.col("sid")), F.lit(mod)) == 0)
+        .orderBy("sid")
+        .limit(sample_cap)
+        .collect()
+    )
+    S = np.array([list(r.sv) for r in rows], dtype=np.float64)
+    if len(S) < n_centroids:
+        raise ValueError(
+            f"sample of {len(S)} rows cannot seed {n_centroids} centroids"
+        )
+    # unit-normalize once; spherical k-means maximizes cosine directly
+    S = S / np.maximum(np.sqrt(_seq_dot(S, S)), 1e-300)[:, None]
+    # deterministic farthest-point init (k-means++ without RNG): start at
+    # the lowest-id sample, then repeatedly take the point least similar
+    # to its nearest chosen centroid — spreads seeds across clusters even
+    # when low ids all share one cluster (stable ties -> lowest index)
+    chosen = [0]
+    best_sim = S @ S[0]
+    for _ in range(1, n_centroids):
+        nxt = int(np.argmin(best_sim))
+        chosen.append(nxt)
+        best_sim = np.maximum(best_sim, S @ S[nxt])
+    M = S[chosen].copy()
+    for _ in range(n_iters):
+        sim = S @ M.T
+        # stable ties -> lowest centroid id
+        lab = np.argmax(sim, axis=1)
+        for c in range(n_centroids):
+            members = S[lab == c]
+            if len(members):
+                v = members.sum(axis=0)
+                n = np.sqrt(np.dot(v, v))
+                if n > 0:
+                    M[c] = v / n
+    cids = np.arange(n_centroids, dtype=np.int64)
+    return cids, M, np.sqrt(_seq_dot(M, M))
+
+
 def _assign_kernel(bc, n_assign: int, vec_type, expect_dims: int | None):
     """mapInPandas kernel: nearest n_assign centroids per vector (ties →
     lowest cid, via a stable sort over the cid-ascending centroid order)."""
@@ -115,14 +182,22 @@ def knn_ivf(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     expect_dims: int | None = None,
+    centroids=None,
 ) -> DataFrame:
     """IVF approximate top-k: (query_id, neighbor_id, rank, sim).
 
     corpus -> one assignment map (inverted lists); queries -> nprobe
     probed lists each (broadcast); candidates = equi-join on cid; exact
-    cosine re-rank. sim rounded to 6 dp, ties broken on neighbor_id."""
+    cosine re-rank. sim rounded to 6 dp, ties broken on neighbor_id.
+
+    ``centroids``: optional pre-trained (cids, M, norms) tuple (see
+    train_centroids); default is the oracle-deterministic medoid seed."""
     sc = corpus.sparkSession.sparkContext
-    bc = sc.broadcast(_centroid_matrix(corpus, id_col, vec_col, n_centroids))
+    bc = sc.broadcast(
+        centroids
+        if centroids is not None
+        else _centroid_matrix(corpus, id_col, vec_col, n_centroids)
+    )
     inv = assign_centroids(corpus, bc, 1, id_col, vec_col, expect_dims).select(
         F.col("id").alias("neighbor_id"), F.col("v").alias("cv"), "cid"
     )

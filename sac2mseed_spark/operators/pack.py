@@ -239,14 +239,25 @@ def _run_block_arrow(tbl):
 
 def _pack_flat_arrow(batches) -> "Iterator":
     """One pass over a partition's sorted flat rows (Arrow RecordBatches);
-    the trailing incomplete window group is carried into the next batch."""
+    the trailing incomplete window group is carried into the next batch.
+
+    SPARK_GRAFT_PACK_PROF=1 prints per-worker (kernel s, rows) to stderr
+    on exhaustion — separates numpy encode time from the Arrow/socket
+    transfer + scheduling time around it when diagnosing contention."""
+    import os
+    import sys
+    import time
+
     import pyarrow as pa
 
+    prof = os.environ.get("SPARK_GRAFT_PACK_PROF") == "1"
+    k_s, k_rows = 0.0, 0
     carry = None  # pa.Table
 
     for rb in batches:
         if rb.num_rows == 0:
             continue
+        t0 = time.perf_counter() if prof else 0.0
         tbl = pa.Table.from_batches([rb])
         if carry is not None:
             tbl = pa.concat_tables([carry, tbl]).combine_chunks()
@@ -254,10 +265,20 @@ def _pack_flat_arrow(batches) -> "Iterator":
         change = np.flatnonzero(new[1:])  # group starts after row 0
         start = int(change[-1]) + 1 if len(change) else 0
         done, carry = tbl.slice(0, start), tbl.slice(start)
-        if done.num_rows:
-            yield _run_block_arrow(done)
+        out = _run_block_arrow(done) if done.num_rows else None
+        if prof:
+            k_s += time.perf_counter() - t0
+            k_rows += rb.num_rows
+        if out is not None:
+            yield out
     if carry is not None and carry.num_rows:
-        yield _run_block_arrow(carry)
+        t0 = time.perf_counter() if prof else 0.0
+        out = _run_block_arrow(carry)
+        if prof:
+            k_s += time.perf_counter() - t0
+        yield out
+    if prof and k_rows:
+        print(f"PACK_PROF kernel_s={k_s:.3f} rows={k_rows}", file=sys.stderr)
 
 
 def pack_tier(

@@ -658,6 +658,18 @@ class IncrementalRollup:
         self._commit_ckpt(state)
         return acct
 
+    def serve(self, now_us: int, horizons=None) -> DataFrame:
+        """Age-banded serving view over the maintained tiers: the finest
+        retained tier per age band (operators/retention.serve_tiered),
+        read straight off the delta chains. Pure prunable predicates +
+        union — the query a dashboard runs against this store."""
+        from ..operators.retention import serve_tiered
+
+        tiers = {
+            t: df for t in TIERS if (df := self.tier(t)) is not None
+        }
+        return serve_tiered(tiers, now_us, horizons)
+
     # -- maintenance ----------------------------------------------------
     def compact(self) -> None:
         """Fold every chain into a single base directory at the committed
