@@ -27,11 +27,13 @@ def _save(path, obj):
 
 
 CONFIGS = {
-    # mode -> (phase file, key, n_executors)
-    "gate_n": (G, "rounds_n", 1),
-    "gate_4n": (G, "rounds_4n", 4),
-    "fb_n": (FB, "rounds_n", 2),
-    "fb_4n": (FB, "rounds_4n", 8),
+    # mode -> (phase file, key, n_executors, per-executor heap); heap is
+    # constant within each N-vs-4N pair (fullbox pair 12g: 8 pre-touched
+    # 16g heaps would exceed the box's 125G)
+    "gate_n": (G, "rounds_n", 1, "16g"),
+    "gate_4n": (G, "rounds_4n", 4, "16g"),
+    "fb_n": (FB, "rounds_n", 2, "12g"),
+    "fb_4n": (FB, "rounds_4n", 8, "12g"),
 }
 
 
@@ -41,10 +43,10 @@ def main():
     modes = sys.argv[2:] or ["gate_n", "gate_4n", "fb_n", "fb_4n"]
     for i in range(rounds):
         for mode in modes:
-            path, key, p = CONFIGS[mode]
+            path, key, p, mem = CONFIGS[mode]
             with open(path) as f:
                 d = json.load(f)
-            d[key].append(sb.run_executors(p, 4))
+            d[key].append(sb.run_executors(p, 4, mem=mem))
             _save(path, d)
             print(f"round {i}: {mode} appended", flush=True)
 

@@ -37,7 +37,7 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 ITERS = 2
 ROUNDS = int(os.environ.get("SCALE_ROUNDS", "2"))
-FIXTURE = os.environ.get("SCALE_FIXTURE", "t_scale4")
+FIXTURE = os.environ.get("SCALE_FIXTURE", "t_scale8")
 # P executors read disjoint directory sets of the slice=cid%16 layout for
 # every P in {1, 2, 4, 8} (P | 16) — see write_transcripts_table
 SLICE_MOD = 16
@@ -237,15 +237,20 @@ def exec_worker(p: int, n_exec: int, cores: int) -> None:
     )
 
 
-def _spawn(args: list[str], cpus: str | None = None):
+def _spawn(args: list[str], cpus: str | None = None, env_extra: dict | None = None):
     cmd = [sys.executable, os.path.abspath(__file__), *args]
     if cpus is not None:
         # pin the executor JVM (and all its helper/GC/python threads) to a
         # disjoint core set — each emulated executor gets exactly its
         # node's cores at BOTH cluster sizes, like a real cluster
         cmd = ["taskset", "-c", cpus, *cmd]
+    env = None
+    if env_extra:
+        env = dict(os.environ)
+        env.update(env_extra)
     return subprocess.Popen(
         cmd,
+        env=env,
         stdout=subprocess.PIPE,
         stderr=subprocess.DEVNULL,
         text=True,
@@ -269,9 +274,18 @@ def _stat_snapshot():
     return sum(vals), vals[7] if len(vals) > 7 else 0  # (total ticks, steal)
 
 
-def run_executors(n_exec: int, cores_per_exec: int = 4, pin: bool = True) -> dict:
+def run_executors(
+    n_exec: int, cores_per_exec: int = 4, pin: bool = True, mem: str | None = None
+) -> dict:
     import tempfile
 
+    # Per-executor heap: constant WITHIN each N-vs-4N comparison (like a
+    # real node spec). The session factory pre-touches Xms=Xmx, so every
+    # gigabyte is committed at launch: 16g x 4 executors fits the box with
+    # the N=1 t_scale8 cache; 8 executors must drop to 12g (8 x 16g would
+    # pre-touch 128G and OOM the 125G box — observed, not hypothetical).
+    if mem is None:
+        mem = "16g" if n_exec <= 4 else "12g"
     barrier = tempfile.mkdtemp(prefix="scaling_barrier_")
     os.environ["SCALING_BARRIER_DIR"] = barrier
     t0 = time.perf_counter()
@@ -279,6 +293,7 @@ def run_executors(n_exec: int, cores_per_exec: int = 4, pin: bool = True) -> dic
         _spawn(
             ["exec", str(p), str(n_exec), str(cores_per_exec)],
             cpus=f"{p * cores_per_exec}-{(p + 1) * cores_per_exec - 1}" if pin else None,
+            env_extra={"SPARK_GRAFT_DRIVER_MEM": mem},
         )
         for p in range(n_exec)
     ]
@@ -467,8 +482,10 @@ def main() -> None:
     def fullbox_phase():
         rn, r4n = [], []
         for _ in range(2):  # interleaved, same steal control as the gate
-            rn.append(run_executors(2, 4))
-            r4n.append(run_executors(8, 4))
+            # constant node spec within the comparison: 12g at BOTH sizes
+            # (8 x 16g would pre-touch past the box's 125G)
+            rn.append(run_executors(2, 4, mem="12g"))
+            r4n.append(run_executors(8, 4, mem="12g"))
         return {"rounds_n": rn, "rounds_4n": r4n}
 
     fbp = cached("fullbox_2_to_8", fullbox_phase)
@@ -610,6 +627,12 @@ DuckDB oracle instead.
 """
     out_path = os.path.join(REPO, "BENCH", "BASELINE.md")
     os.makedirs(os.path.dirname(out_path), exist_ok=True)
+    # hand-maintained host-variance appendix (cross-session evidence the
+    # generator cannot compute) survives regeneration
+    appendix = os.path.join(REPO, "BENCH", "HOST_VARIANCE.md")
+    if os.path.exists(appendix):
+        with open(appendix) as f:
+            md += "\n" + f.read()
     with open(out_path, "w") as f:
         f.write(md)
     print(f"wrote {out_path}")
