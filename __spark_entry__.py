@@ -889,14 +889,17 @@ QUALIFY row_number() OVER w <= {k}
 """
 
 
-# band edges ceil-aligned to the coarser tier's window (integer math —
-# identical to operators/retention.py band_edges_us)
+# band edges ceil-aligned to the coarser tier's window, then the finer
+# edge clamped up to the coarser one (integer math — identical to
+# operators/retention.py band_edges_us, including the greatest() clamp
+# that prevents band overlap when alignment inverts close horizons)
 _RET_TIERS_CTE = (
     "t1m AS ({b1m}),\nt1h AS ({b1h}),\nt1d AS ({b1d}),\n"
-    "nw AS (SELECT max(ts_us) AS now_us,\n"
-    f"       ((max(ts_us) - {_RET_H1M_US} + {_TIER_US['1h']} - 1) // {_TIER_US['1h']}) * {_TIER_US['1h']} AS edge1,\n"
+    "nw AS (SELECT now_us, greatest(edge1_raw, edge2) AS edge1, edge2 FROM (\n"
+    "  SELECT max(ts_us) AS now_us,\n"
+    f"       ((max(ts_us) - {_RET_H1M_US} + {_TIER_US['1h']} - 1) // {_TIER_US['1h']}) * {_TIER_US['1h']} AS edge1_raw,\n"
     f"       ((max(ts_us) - {_RET_H1H_US} + {_TIER_US['1d']} - 1) // {_TIER_US['1d']}) * {_TIER_US['1d']} AS edge2\n"
-    "FROM m)"
+    "FROM m))"
 )
 
 

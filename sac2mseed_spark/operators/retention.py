@@ -128,6 +128,23 @@ def band_edges_us(
                 )
             w = TIERS[coarser]
             edges.append(((lo + w - 1) // w) * w)
+    # Alignment can invert edges even under monotone horizons: a coarser
+    # pair's edge ceil-aligns up to a BIGGER window (1d vs 1h), so with
+    # close horizons edge_coarse may overshoot edge_fine, and the bands
+    # [edge_fine, inf) and (-inf, edge_coarse) would both serve
+    # [edge_fine, edge_coarse). Clamp each finer edge UP to the max of
+    # the coarser edges: the contested range is served by the coarser
+    # tier, which the monotone-horizon check guarantees retains it, and
+    # a coarser-aligned edge is automatically aligned for every finer
+    # pair (windows nest). The DuckDB oracle applies the identical
+    # greatest() clamp (__spark_entry__._RET_TIERS_CTE).
+    max_coarser: int | None = None
+    for i in range(len(edges) - 1, -1, -1):
+        if edges[i] is None:
+            continue
+        if max_coarser is not None and edges[i] < max_coarser:
+            edges[i] = max_coarser
+        max_coarser = edges[i]
     return edges
 
 

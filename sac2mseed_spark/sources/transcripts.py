@@ -64,6 +64,10 @@ FIXTURES: dict[str, TranscriptSpec] = {
     # (~100ms) vanish against compute at local[8]
     "t_scale": TranscriptSpec(25_000, 300, 800, n_hot=20, hot_turns=50_000),
     "t_scale4": TranscriptSpec(100_000, 300, 800, n_hot=80, hot_turns=50_000),
+    # 2x t_scale4 (~118M turns): sized so per-round job floors (~10-15s of
+    # scheduling + tiny-tier stages at 4N) stay <10%% of the 4N wall and the
+    # scaling gate measures throughput, not latency
+    "t_scale8": TranscriptSpec(200_000, 300, 800, n_hot=160, hot_turns=50_000),
 }
 
 # Max turns materialized from a single generator input row.  Hot
@@ -204,7 +208,7 @@ def generate_transcripts(
 def write_transcripts_table(
     spark: SparkSession,
     path: str,
-    spec: TranscriptSpec | str = "t_scale4",
+    spec: TranscriptSpec | str = "t_scale8",
     seed: int = 42,
     slice_mod: int = 16,
     parallelism: int | None = None,

@@ -271,7 +271,11 @@ def _stat_snapshot():
     with open("/proc/stat") as f:
         parts = f.readline().split()[1:]
     vals = [int(x) for x in parts]
-    return sum(vals), vals[7] if len(vals) > 7 else 0  # (total ticks, steal)
+    # (total ticks, steal ticks, system ticks). System fraction is a
+    # second host-health signal: on this KVM guest, page-op-heavy phases
+    # show 35-80%% sys with near-zero user when the host's memory
+    # subsystem is oversubscribed — invisible to steal accounting.
+    return sum(vals), vals[7] if len(vals) > 7 else 0, vals[2]
 
 
 def run_executors(
@@ -316,7 +320,9 @@ def run_executors(
     if len(results) != n_exec:
         raise RuntimeError(f"only {len(results)}/{n_exec} executors reported")
     stat1 = _stat_snapshot()
-    steal_frac = round((stat1[1] - stat0[1]) / max(stat1[0] - stat0[0], 1), 4)
+    ticks = max(stat1[0] - stat0[0], 1)
+    steal_frac = round((stat1[1] - stat0[1]) / ticks, 4)
+    sys_frac = round((stat1[2] - stat0[2]) / ticks, 4)
     # per-executor timed iteration runs concurrently with the others'
     # (all executors execute warm+timed in lockstep-ish); score the
     # slowest executor's timed iteration as the job wall time
@@ -333,6 +339,7 @@ def run_executors(
         "launch_wall_s": round(wall, 1),
         "points_per_sec": round(rolled / slowest, 1),
         "host_steal_frac": steal_frac,
+        "host_sys_frac": sys_frac,
         "stages": max(results, key=lambda r: r["wall_s"]).get("stages"),
     }
 
@@ -488,35 +495,114 @@ def main() -> None:
             r4n.append(run_executors(8, 4, mem="12g"))
         return {"rounds_n": rn, "rounds_4n": r4n}
 
-    fbp = cached("fullbox_2_to_8", fullbox_phase)
-    fb_n = min(fbp["rounds_n"], key=lambda r: r["wall_s"])
-    fb_4n = min(fbp["rounds_4n"], key=lambda r: r["wall_s"])
-    fb_raw = {
-        "N": [(r["wall_s"], r["host_steal_frac"]) for r in fbp["rounds_n"]],
-        "4N": [(r["wall_s"], r["host_steal_frac"]) for r in fbp["rounds_4n"]],
-    }
-    fb_eff = round(fb_4n["points_per_sec"] / (4 * fb_n["points_per_sec"]), 3)
+    # Optional phases: with SCALE_SKIP_OPTIONAL=1 a missing cache file
+    # yields an honest "not measured this session" section instead of
+    # burning an hour measuring garbage on a thrashing host.
+    def cached_opt(name, fn):
+        p = os.path.join(cache_dir, f"{name}.json")
+        if os.path.exists(p):
+            with open(p) as f:
+                return json.load(f)
+        if os.environ.get("SCALE_SKIP_OPTIONAL") == "1":
+            return None
+        return cached(name, fn)
 
-    sj = cached(
+    fbp = cached_opt("fullbox_2_to_8", fullbox_phase)
+    if fbp is not None:
+        fb_n = min(fbp["rounds_n"], key=lambda r: r["wall_s"])
+        fb_4n = min(fbp["rounds_4n"], key=lambda r: r["wall_s"])
+        fb_raw = {
+            "N": [(r["wall_s"], r["host_steal_frac"]) for r in fbp["rounds_n"]],
+            "4N": [(r["wall_s"], r["host_steal_frac"]) for r in fbp["rounds_4n"]],
+        }
+        fb_eff = round(fb_4n["points_per_sec"] / (4 * fb_n["points_per_sec"]), 3)
+
+    sj = cached_opt(
         "single_jvm", lambda: {"n": run_single_jvm(8), "4n": run_single_jvm(32)}
     )
-    sj_n, sj_4n = sj["n"], sj["4n"]
-    sj_eff = round(sj_4n["points_per_sec"] / (4 * sj_n["points_per_sec"]), 3)
+    if sj is not None:
+        sj_n, sj_4n = sj["n"], sj["4n"]
+        sj_eff = round(sj_4n["points_per_sec"] / (4 * sj_n["points_per_sec"]), 3)
 
-    k = cached("kernel", kernel_scaling)
+    k = cached_opt("kernel", kernel_scaling)
 
     report = {
         "cpu_calibration": cal,
         "executors": {"N": ex_n, "4N": ex_4n, "efficiency": ex_eff,
                       "raw_walls_steal": raw_walls},
-        "full_box_2_to_8": {"N": fb_n, "4N": fb_4n, "efficiency": fb_eff},
-        "single_jvm": {"N": sj_n, "4N": sj_4n, "efficiency": sj_eff},
+        "full_box_2_to_8": (
+            {"N": fb_n, "4N": fb_4n, "efficiency": fb_eff} if fbp else None
+        ),
+        "single_jvm": (
+            {"N": sj_n, "4N": sj_4n, "efficiency": sj_eff} if sj else None
+        ),
         "kernel_Mpts_per_s": k,
     }
     print(json.dumps(report, indent=2))
 
     raw_n = ", ".join(f"{w}s @ steal {st:.1%}" for w, st in raw_walls["N"])
     raw_4n = ", ".join(f"{w}s @ steal {st:.1%}" for w, st in raw_walls["4N"])
+
+    if fbp is not None:
+        fb_md = f"""Full-box variant (2 -> 8 executors, 32 of 32 cores busy at 4N — subject
+to the §0 full-box host artifact, reported for transparency):
+
+| cluster size | job wall s | points/sec |
+|---|---|---|
+| 2 executors x 4 cores | {fb_n["wall_s"]} | {fb_n["points_per_sec"]:,} |
+| 8 executors x 4 cores | {fb_4n["wall_s"]} | {fb_4n["points_per_sec"]:,} |
+
+Efficiency 2 -> 8 = {fb_eff} (interleaved best-of-2; raw walls:
+N {", ".join(f"{w}s @ steal {st:.1%}" for w, st in fb_raw["N"])} /
+4N {", ".join(f"{w}s @ steal {st:.1%}" for w, st in fb_raw["4N"])}).
+Full-box numbers on this VM vary with host conditions (see §0); the
+dedicated-cores table above is the faithful cluster analogue and the gate
+measurement."""
+    else:
+        fb_md = """Full-box variant (2 -> 8 executors): NOT MEASURED on the current
+fixture — the host never offered a clean-enough window this session
+(§4 appendix). The archived t_scale4 evidence
+(BENCH/phases/fullbox_2_to_8_t_scale4.json) holds the most recent
+measurements of this variant: best-of rounds 120.513s (2 exec, steal
+0.0%) vs 33.923s (8 exec, steal 0.6%) -> efficiency 0.89 against the
+cleanest N, superlinear against the contended ones."""
+
+    if sj is not None:
+        sj_md = f"""## 2. Single shared JVM (local[8] vs local[32])
+
+| parallelism | wall s | points/sec |
+|---|---|---|
+| local[8] | {sj_n["wall_s"]} | {sj_n["points_per_sec"]:,} |
+| local[32] | {sj_4n["wall_s"]} | {sj_4n["points_per_sec"]:,} |
+
+Efficiency = {sj_eff}. One JVM for all 32 "executors" shares a single GC,
+a single Arrow buffer allocator (the JVM<->Python Arrow bridge saturates
+near 2.5M rows/s regardless of thread count), and one page cache — none
+of which a real multi-executor cluster shares. The multi-process numbers
+in §1 are the honest cluster proxy; these are reported for transparency."""
+    else:
+        sj_md = """## 2. Single shared JVM (local[8] vs local[32])
+
+Not re-measured on the current fixture this session (transparency
+variant only; see the §1 multi-process numbers for the cluster proxy).
+The t_scale4 measurement was 96.788s vs 48.242s (efficiency 0.502,
+shared-GC/Arrow-allocator artifacts discussed in prior revisions)."""
+
+    if k is not None:
+        k_md = f"""## 3. Codec kernel compute scaling (multiprocessing, no Spark)
+
+| procs | aggregate encode throughput |
+|---|---|
+| 8 | {k["8p"]} M pts/s |
+| 32 | {k["32p"]} M pts/s |
+
+Kernel efficiency 8 -> 32 procs = {k["efficiency"]}."""
+    else:
+        k_md = """## 3. Codec kernel compute scaling (multiprocessing, no Spark)
+
+Not re-measured this session; prior measurement: 3.79 M pts/s at 8
+procs -> 9.45 M pts/s at 32 procs (efficiency 0.623)."""
+
     md = f"""# BENCH/BASELINE — measured numbers
 
 Generated by `python tools/scaling_bench.py`. Input: FIXTURES['{FIXTURE}']
@@ -565,20 +651,7 @@ between executors and this emulation is faithful.
 
 **Scaling efficiency (N -> 4N) = {ex_eff}** (gate: >= 0.8).
 
-Full-box variant (2 -> 8 executors, 32 of 32 cores busy at 4N — subject
-to the §0 full-box host artifact, reported for transparency):
-
-| cluster size | job wall s | points/sec |
-|---|---|---|
-| 2 executors x 4 cores | {fb_n["wall_s"]} | {fb_n["points_per_sec"]:,} |
-| 8 executors x 4 cores | {fb_4n["wall_s"]} | {fb_4n["points_per_sec"]:,} |
-
-Efficiency 2 -> 8 = {fb_eff} (interleaved best-of-2; raw walls:
-N {", ".join(f"{w}s @ steal {st:.1%}" for w, st in fb_raw["N"])} /
-4N {", ".join(f"{w}s @ steal {st:.1%}" for w, st in fb_raw["4N"])}).
-Full-box numbers on this VM vary with host conditions (see §0); the
-dedicated-cores table above is the faithful cluster analogue and the gate
-measurement.
+{fb_md}
 
 ### Methodology: interleaved best-of-{ROUNDS} (host-steal control)
 
@@ -599,27 +672,9 @@ pack = 1m payload encode):
 - N:  {ex_n["stages"]}
 - 4N: {ex_4n["stages"]}
 
-## 2. Single shared JVM (local[8] vs local[32])
+{sj_md}
 
-| parallelism | wall s | points/sec |
-|---|---|---|
-| local[8] | {sj_n["wall_s"]} | {sj_n["points_per_sec"]:,} |
-| local[32] | {sj_4n["wall_s"]} | {sj_4n["points_per_sec"]:,} |
-
-Efficiency = {sj_eff}. One JVM for all 32 "executors" shares a single GC,
-a single Arrow buffer allocator (the JVM<->Python Arrow bridge saturates
-near 2.5M rows/s regardless of thread count), and one page cache — none
-of which a real multi-executor cluster shares. The multi-process numbers
-in §1 are the honest cluster proxy; these are reported for transparency.
-
-## 3. Codec kernel compute scaling (multiprocessing, no Spark)
-
-| procs | aggregate encode throughput |
-|---|---|
-| 8 | {k["8p"]} M pts/s |
-| 32 | {k["32p"]} M pts/s |
-
-Kernel efficiency 8 -> 32 procs = {k["efficiency"]}.
+{k_md}
 
 Reference comparison: the reference publishes no throughput numbers
 (BASELINE.md); bit-exactness gates are covered by pytest + the driver's
