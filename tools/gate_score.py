@@ -32,5 +32,10 @@ def show(name, path, factor=4):
 
 
 if __name__ == "__main__":
-    show("gate_1_to_4", os.path.join(PH, "gate_1_to_4.json"))
-    show("fullbox_2_to_8", os.path.join(PH, "fullbox_2_to_8.json"))
+    for name in ("gate_1_to_4", "fullbox_2_to_8"):
+        p = os.path.join(PH, f"{name}.json")
+        if os.path.exists(p):
+            show(name, p)
+        else:
+            print(f"{name}: no rounds recorded on the current fixture "
+                  f"(archived t_scale4 evidence: {name}_t_scale4.json)\n")
