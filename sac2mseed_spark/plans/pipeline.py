@@ -70,6 +70,23 @@ committed version, so nothing is double-counted. Rollup-count totals in
 the metrics table are maintained ARITHMETICALLY (previous committed
 totals + delta-sized aggregates, crash-safe inside the same checkpoint),
 never by re-scanning the table.
+
+Reads never see uncommitted data — every structural transition is gated
+by the atomically-swapped checkpoint:
+
+  * snapshot deltas: invisible until ``version`` advances (above);
+  * heal entries ``d{v}h``: invisible until ``healed_through`` >= v
+    (_chain_dirs gate; crash debris above the watermark is GC'd by the
+    next heal()/compact() so it can never be resurrected);
+  * compaction: two-phase — stage under ``_compact_tmp`` (a name the
+    chain regex never matches), commit ``compact_intent``, swap, clear.
+    A crash mid-swap is finished by ``_maybe_recover()`` on the next
+    entry point, reads included, so a half-swapped chain is never served.
+
+``compact()`` runs automatically when any family's chain exceeds
+``max_chain`` entries (ctor policy) — bounding the per-read latest-wins
+resolve at O(max_chain) deltas — and remains callable as an explicit
+maintenance action.
 """
 
 from __future__ import annotations
@@ -158,11 +175,18 @@ class IncrementalRollup:
         input_dir: str,
         work_dir: str,
         pack_tiers: tuple[str, ...] = ("1m",),
+        max_chain: int | None = 8,
     ):
         self.spark = spark
         self.input_dir = input_dir
         self.work_dir = work_dir
         self.pack_tiers = tuple(pack_tiers)
+        # auto-compaction policy: after a snapshot commit, if any family's
+        # chain exceeds this many entries, compact() runs inline (None
+        # disables). Bounds the chain-length-proportional row_number
+        # shuffle every MERGE-on-read pays — without it, hourly snapshots
+        # grow ~720 dirs/family/month between manual maintenance windows.
+        self.max_chain = max_chain
         os.makedirs(work_dir, exist_ok=True)
         self.ckpt_path = os.path.join(work_dir, "_checkpoint.json")
 
@@ -208,16 +232,31 @@ class IncrementalRollup:
     def _packed_delta_path(self, version: int, tier: str) -> str:
         return self._delta_path(self._packed_base(tier), version)
 
-    def _chain_dirs(self, base: str, version: int) -> list[str]:
+    def _chain_dirs(
+        self, base: str, version: int, healed_through: int | None = None
+    ) -> list[str]:
         """Committed chain entries <= version, in resolution order
-        (ascending version; a heal entry ranks after its plain twin)."""
+        (ascending version; a heal entry ranks after its plain twin).
+
+        A heal entry ``d{v}h`` is included only once the checkpoint's
+        ``healed_through`` watermark has reached v: heal() writes its dirs
+        BEFORE committing that watermark, so a crash mid-heal leaves the
+        partial dirs invisible to every read (no torn reads — the module
+        doc's reads-never-see-uncommitted-data invariant). Orphans from a
+        crashed heal are garbage-collected by the next heal()/compact()
+        before the watermark can advance past them."""
+        if healed_through is None:
+            healed_through = self._read_ckpt()["healed_through"]
         if not os.path.isdir(base):
             return []
         entries = []
         for name in os.listdir(base):
             m = _DELTA_RE.match(name)
-            if m and int(m.group(1)) <= version:
-                entries.append((int(m.group(1)), m.group(2), name))
+            if not m or int(m.group(1)) > version:
+                continue
+            if m.group(2) and int(m.group(1)) > healed_through:
+                continue  # uncommitted heal entry (crash debris)
+            entries.append((int(m.group(1)), m.group(2), name))
         return [os.path.join(base, n) for _, _, n in sorted(entries)]
 
     def _resolve_chain(
@@ -227,6 +266,7 @@ class IncrementalRollup:
         keys: list[str],
         touched: DataFrame | None = None,
         bound_us: int | None = None,
+        healed_through: int | None = None,
     ) -> DataFrame | None:
         """MERGE-on-read: union the chain <= version, latest-version-wins
         per key. ``touched`` (a keys-only DataFrame) semi-joins each
@@ -234,7 +274,7 @@ class IncrementalRollup:
         min/max stats this prunes most of each delta file; Iceberg would
         prune at manifest level. ``bound_us`` applies the committed
         retention predicate (metadata-only DELETE, module doc)."""
-        dirs = self._chain_dirs(base, version)
+        dirs = self._chain_dirs(base, version, healed_through)
         if not dirs:
             return None
         parts = []
@@ -257,10 +297,11 @@ class IncrementalRollup:
     def conv_state(self, version: int) -> DataFrame | None:
         if version == 0:
             return None
+        self._maybe_recover(self._read_ckpt())
         return self._resolve_chain(self._state_base(), version, ["conv_id"])
 
     def tier(self, tier: str, version: int | None = None) -> DataFrame | None:
-        state = self._read_ckpt()
+        state = self._maybe_recover(self._read_ckpt())
         v = version if version is not None else state["version"]
         if v == 0:
             return None
@@ -272,7 +313,7 @@ class IncrementalRollup:
         )
 
     def packed_tier(self, tier: str, version: int | None = None) -> DataFrame | None:
-        state = self._read_ckpt()
+        state = self._maybe_recover(self._read_ckpt())
         v = version if version is not None else state["version"]
         if v == 0:
             return None
@@ -302,7 +343,7 @@ class IncrementalRollup:
     def process_pending(self) -> int:
         """Roll every unprocessed snapshot into the tier tables; returns
         the number of snapshots processed. Safe to call after a crash."""
-        state = self._read_ckpt()
+        state = self._maybe_recover(self._read_ckpt())
         done = 0
         for snap_id, snap_path in list_snapshots(self.input_dir):
             if snap_id <= state["version"]:
@@ -311,6 +352,12 @@ class IncrementalRollup:
             state["version"] = snap_id
             self._commit_ckpt(state)
             done += 1
+            # auto-compaction policy (ctor doc): keep every family's
+            # MERGE-on-read chain bounded. Runs AFTER the commit, so a
+            # crash inside compact never loses the snapshot.
+            if self.max_chain is not None and self.chain_length(state) > self.max_chain:
+                self.compact()
+                state = self._read_ckpt()
         return done
 
     def _process_one(self, state: dict, snap_id: int, snap_path: str) -> None:
@@ -544,13 +591,18 @@ class IncrementalRollup:
         O(affected conversations), never O(table).
 
         Crash-safe: heal dirs are deterministic overwrites keyed by the
-        committed version; ``healed_through`` advances only after every
-        family's dir is written, so a mid-heal crash replays clean.
-        Returns the number of conversations healed."""
-        state = self._read_ckpt()
+        committed version, and a ``d{v}h`` entry is INVISIBLE to chain
+        reads until ``healed_through`` reaches v (_chain_dirs gate) — the
+        watermark advances only after every family's dir is fully
+        written, so a mid-heal crash leaves reads exactly as before the
+        heal and the rerun replays clean. Stale heal debris above the
+        watermark is garbage-collected first, so a later heal cannot
+        resurrect it. Returns the number of conversations healed."""
+        state = self._maybe_recover(self._read_ckpt())
         v = state["version"]
         if v == 0:
             return 0
+        self._gc_uncommitted_heal(state)
         pend_dirs = [
             p
             for p in self._chain_dirs(self._pending_base(), v)
@@ -621,9 +673,17 @@ class IncrementalRollup:
         applies — the metadata-only DELETE of operators/retention.py;
         Iceberg drops the partitions in metadata the same way), update
         the running totals by the evicted counts, and write the sweep
-        accounting to the ``retention/`` table. Physical space is
+        accounting to the ``retention/`` table — packed tiers get their
+        own accounting rows (tier ``packed:{t}``, same horizon as the
+        aggregate twin; their reads honor the same committed bound).
+
+        Commit order: bounds + totals go into the checkpoint FIRST, the
+        accounting parquet is written after — so ``retention_table`` never
+        shows a sweep whose eviction did not commit (a crash between the
+        two loses only the accounting row, and a rerun with the same
+        ``now_us`` rewrites it keyed-idempotently). Physical space is
         reclaimed later by ``compact()``. Returns the accounting rows."""
-        state = self._read_ckpt()
+        state = self._maybe_recover(self._read_ckpt())
         v = state["version"]
         tiers = {
             t: df
@@ -631,19 +691,16 @@ class IncrementalRollup:
             if (df := self.tier(t, v)) is not None
         }
         sweep = retention_sweep(tiers, now_us, horizons) if tiers else None
-        rows = sweep.collect() if sweep is not None else []
-        acct = self.spark.createDataFrame(
-            [
-                (int(now_us), r["tier"], r["n_kept"], r["n_evicted"],
-                 r["pts_kept"], r["pts_evicted"])
-                for r in rows
-            ],
-            "swept_at_us long, tier string, n_kept long, n_evicted long,"
-            " pts_kept long, pts_evicted long",
-        )
-        acct.write.mode("overwrite").parquet(
-            os.path.join(self.work_dir, "retention", f"sweep_{now_us:020d}")
-        )
+        rows = list(sweep.collect()) if sweep is not None else []
+        # packed-tier accounting: same bound as the tier of the same name
+        # (windows are the unit of eviction for both representations)
+        packed_rows = []
+        for t in self.pack_tiers:
+            pdf = self.packed_tier(t, v)
+            if pdf is None:
+                continue
+            pr = retention_sweep({t: pdf}, now_us, horizons).collect()[0]
+            packed_rows.append((f"packed:{t}", pr))
         for r in rows:
             tier = r["tier"]
             lo = retention_bound_us(tier, now_us, horizons)
@@ -656,6 +713,23 @@ class IncrementalRollup:
                 tot["n_windows"] -= int(r["n_evicted"])
                 tot["n_points"] -= int(r["pts_evicted"])
         self._commit_ckpt(state)
+        acct = self.spark.createDataFrame(
+            [
+                (int(now_us), r["tier"], r["n_kept"], r["n_evicted"],
+                 r["pts_kept"], r["pts_evicted"])
+                for r in rows
+            ]
+            + [
+                (int(now_us), name, r["n_kept"], r["n_evicted"],
+                 r["pts_kept"], r["pts_evicted"])
+                for name, r in packed_rows
+            ],
+            "swept_at_us long, tier string, n_kept long, n_evicted long,"
+            " pts_kept long, pts_evicted long",
+        )
+        acct.write.mode("overwrite").parquet(
+            os.path.join(self.work_dir, "retention", f"sweep_{now_us:020d}")
+        )
         return acct
 
     def serve(self, now_us: int, horizons=None) -> DataFrame:
@@ -671,17 +745,8 @@ class IncrementalRollup:
         return serve_tiered(tiers, now_us, horizons)
 
     # -- maintenance ----------------------------------------------------
-    def compact(self) -> None:
-        """Fold every chain into a single base directory at the committed
-        version (Iceberg's rewrite_data_files maintenance action): resolve
-        latest-wins + retention bounds, rewrite, drop the old entries.
-        Reads before/after are row-identical (tests assert). The parquet
-        standin's directory swap is not crash-atomic the way an Iceberg
-        metadata swap is — run it in a maintenance window."""
-        state = self._read_ckpt()
-        v = state["version"]
-        if v == 0:
-            return
+    def _compact_jobs(self, state: dict) -> list[tuple[str, list[str], int | None]]:
+        """(base, keys, retention bound) for every chained table family."""
         jobs = [
             (self._tier_base(t), _WINDOW_KEYS, state["retention_bounds"].get(t))
             for t in TIERS
@@ -691,15 +756,110 @@ class IncrementalRollup:
             for t in self.pack_tiers
         ]
         jobs.append((self._state_base(), ["conv_id"], None))
-        for base, keys, bound in jobs:
-            resolved = self._resolve_chain(base, v, keys, bound_us=bound)
-            if resolved is None:
+        return jobs
+
+    def _gc_uncommitted_heal(self, state: dict) -> None:
+        """Remove heal dirs whose version exceeds the committed
+        ``healed_through`` — debris from a crashed heal(). Without this GC
+        a later heal at a higher version would advance the watermark past
+        the orphan and resurrect its torn contents into chain reads."""
+        ht = state["healed_through"]
+        for base, _, _ in self._compact_jobs(state):
+            if not os.path.isdir(base):
                 continue
+            for name in os.listdir(base):
+                m = _DELTA_RE.match(name)
+                if m and m.group(2) and int(m.group(1)) > ht:
+                    shutil.rmtree(os.path.join(base, name))
+
+    def _maybe_recover(self, state: dict) -> dict:
+        """Finish a crashed compact() swap before anything reads a chain.
+
+        Called from every public entry point: if the checkpoint carries a
+        ``compact_intent``, the staged-but-unswapped families are swapped
+        now (idempotent — a family whose ``_compact_tmp`` is gone was
+        already adopted) and the intent is cleared. Cheap no-op otherwise."""
+        if "compact_intent" in state:
+            self._finish_compact(state)
+        return state
+
+    def _finish_compact(self, state: dict) -> None:
+        """Phase 2 of compact(): per family, drop the superseded chain
+        entries and adopt the staged ``_compact_tmp`` as ``d{v}`` (the
+        os.replace is atomic; a crash anywhere here is resumed by
+        _maybe_recover on the next entry point, which re-runs this loop —
+        families with no staged tmp left are skipped)."""
+        v = state["compact_intent"]
+        for base, _, _ in self._compact_jobs(state):
             tmp = os.path.join(base, "_compact_tmp")
-            resolved.write.mode("overwrite").parquet(tmp)
-            for p in self._chain_dirs(base, v):
+            if not os.path.isdir(tmp):
+                continue  # never staged, or already swapped on a prior run
+            for p in self._chain_dirs(base, v, state["healed_through"]):
                 shutil.rmtree(p)
             os.replace(tmp, self._delta_path(base, v))
         # pending entries at or before the healed watermark are spent
-        for p in self._chain_dirs(self._pending_base(), state["healed_through"]):
+        for p in self._chain_dirs(
+            self._pending_base(), state["healed_through"], state["healed_through"]
+        ):
             shutil.rmtree(p)
+        state.pop("compact_intent")
+        self._commit_ckpt(state)
+
+    def chain_length(self, state: dict | None = None) -> int:
+        """Longest delta chain across all table families (auto-compaction
+        trigger metric; also what an operator would alert on)."""
+        state = state or self._read_ckpt()
+        return max(
+            (
+                len(self._chain_dirs(b, state["version"], state["healed_through"]))
+                for b, _, _ in self._compact_jobs(state)
+            ),
+            default=0,
+        )
+
+    def compact(self) -> None:
+        """Fold every chain into a single base directory at the committed
+        version (Iceberg's rewrite_data_files maintenance action): resolve
+        latest-wins + retention bounds, rewrite, drop the old entries.
+        Reads before/after are row-identical (tests assert).
+
+        Crash-safe two-phase protocol (the parquet standin for Iceberg's
+        atomic metadata swap):
+
+          1. stage every family's resolved table under ``_compact_tmp``
+             (a name the chain regex never matches — invisible to reads;
+             a crash here leaves harmless debris the next run overwrites)
+          2. atomically commit ``compact_intent = v`` in the checkpoint
+          3. per family: drop superseded entries, adopt tmp as ``d{v}``
+          4. clear the intent, commit
+
+        A crash inside (3)-(4) is finished by ``_maybe_recover`` on the
+        next entry point (reads included), so a half-swapped chain is
+        never served."""
+        state = self._maybe_recover(self._read_ckpt())
+        v = state["version"]
+        if v == 0:
+            return
+        # heal debris would otherwise be resurrected once healed_through
+        # advances; compacting is the natural GC point
+        self._gc_uncommitted_heal(state)
+        staged = 0
+        for base, keys, bound in self._compact_jobs(state):
+            dirs = self._chain_dirs(base, v, state["healed_through"])
+            if not dirs:
+                continue
+            resolved = self._resolve_chain(
+                base, v, keys, bound_us=bound, healed_through=state["healed_through"]
+            )
+            tmp = os.path.join(base, "_compact_tmp")
+            resolved.write.mode("overwrite").parquet(tmp)
+            staged += 1
+        if staged == 0:
+            for p in self._chain_dirs(
+                self._pending_base(), state["healed_through"], state["healed_through"]
+            ):
+                shutil.rmtree(p)
+            return
+        state["compact_intent"] = v
+        self._commit_ckpt(state)
+        self._finish_compact(state)

@@ -1,0 +1,237 @@
+"""Paired same-window gate rounds (round-5 methodology upgrade).
+
+Round-4 verdict finding: best-of-N across *different* quiet windows biases
+the N->4N ratio — N's best landed in the session's cleanest window, 4N's in
+a worse one. This runner executes the cluster sizes BACK-TO-BACK inside one
+probe-verified window, tagging every appended round with a shared pair_id,
+so gate efficiency can be scored on paired ratios instead of cross-window
+best-ofs.
+
+It also addresses the round-4 "4N host_sys_frac 0.09 vs N ~0.016" lead:
+  * the fixture is pre-warmed into page cache before each round (symmetric
+    IO conditions at both cluster sizes — the warm pass then re-reads from
+    cache at N and 4N alike), and
+  * a 2 s /proc/stat sampler runs for the whole session, phase-tagged, so
+    any residual sys-time excess is attributable to a specific round and
+    minute rather than inferred after the fact.
+
+The runner GATES on the window like gate_hunter (steal < 0.5% over a 15 s
+probe AND 4-proc ALU calibration >= 90% of the session's best, seeded at
+30 Mops — the bar below which this host is known-degraded), because a
+degraded host hurts 16-busy-cores more than 4-busy-cores (the ALU
+eff_4_to_16 ceiling collapses with it) and would bias the ratio DOWN. At
+window-open it also measures the 4p/16p ALU pair so every scored round
+ships with the hardware ceiling it ran under.
+
+Coordination files (so correctness tests can interleave with hunting):
+  /tmp/gate_hold  — while present, the runner probes but will not launch
+  /tmp/gate_busy  — present while a measurement pair is actually running
+
+Usage:
+  python tools/gate_paired.py [max_minutes] [mem] [mode ...]
+    mem   per-executor heap for every round in the session (default 12g —
+          constant node spec shared with the fullbox 2->8 variant)
+    modes default: gate_4n gate_n   (4N first: it is the scarce number;
+          if the window closes mid-session the expensive one is banked)
+Appends rounds to BENCH/phases/gate_1_to_4.json / fullbox_2_to_8.json in
+the exact shape gate_hunter/extra_rounds use, plus pair_id/mem/note, and
+writes the sampler series to BENCH/phases/diag_<pair_id>.json.
+"""
+
+import json
+import os
+import sys
+import threading
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import gate_hunter as gh
+import scaling_bench as sb
+
+PH = os.path.join(sb.REPO, "BENCH", "phases")
+
+
+def prewarm_fixture() -> float:
+    """Read every fixture byte so the timed rounds start cache-hot.
+
+    Symmetric at both cluster sizes: N re-reads 6 GiB from cache exactly
+    like 4N does. (Without this, whichever size runs first in a session
+    pays the cold read inside its warm pass while later rounds inherit a
+    hot cache — an ordering artifact.)
+    """
+    t0 = time.perf_counter()
+    total = 0
+    for root, _, files in os.walk(sb.FIXTURE_DIR):
+        for fn in files:
+            with open(os.path.join(root, fn), "rb") as f:
+                while True:
+                    b = f.read(1 << 22)
+                    if not b:
+                        break
+                    total += len(b)
+    dt = time.perf_counter() - t0
+    print(f"prewarm: {total/2**30:.2f} GiB in {dt:.1f}s", flush=True)
+    return dt
+
+
+class StatSampler(threading.Thread):
+    """2 s /proc/stat samples, phase-tagged, for post-hoc sys/steal audit."""
+
+    def __init__(self):
+        super().__init__(daemon=True)
+        self.samples = []
+        self.phase = "idle"
+        self.stop_flag = False
+
+    @staticmethod
+    def _snap():
+        with open("/proc/stat") as f:
+            v = list(map(int, f.readline().split()[1:]))
+        # user, nice, sys, idle, iowait, irq, softirq, steal
+        return v
+
+    def run(self):
+        prev = self._snap()
+        while not self.stop_flag:
+            time.sleep(2)
+            cur = self._snap()
+            d = [c - p for c, p in zip(cur, prev)]
+            tot = max(sum(d), 1)
+            self.samples.append(
+                {
+                    "t": round(time.time(), 1),
+                    "phase": self.phase,
+                    "user": round(d[0] / tot, 4),
+                    "sys": round(d[2] / tot, 4),
+                    "idle": round(d[3] / tot, 4),
+                    "iowait": round(d[4] / tot, 4),
+                    "steal": round(d[7] / tot, 4),
+                }
+            )
+            prev = cur
+
+
+def append_round(mode: str, mem: str, pair_id: str, extra_note: str) -> dict:
+    path, key, p, _default_mem = gh.CONFIGS[mode]
+    r = sb.run_executors(p, 4, mem=mem)
+    r["pair_id"] = pair_id
+    r["mem"] = mem
+    r["note"] = f"paired-window ({extra_note})"
+    with open(path) as f:
+        d = json.load(f)
+    d[key].append(r)
+    tmp = f"{path}.tmp"
+    with open(tmp, "w") as f:
+        json.dump(d, f)
+    os.replace(tmp, path)
+    return r
+
+
+HOLD = "/tmp/gate_hold"
+BUSY = "/tmp/gate_busy"
+ALU_FLOOR = 30.0  # Mops: below this the host is known-degraded (r4 record)
+ALU_TOL = 0.90
+MAX_STEAL = 0.005
+
+
+def alu_16p() -> float:
+    import multiprocessing as mp
+
+    with mp.Pool(16) as pool:
+        pool.map(sb._alu_probe, range(16))
+        return sum(pool.map(sb._alu_probe, range(16))) / 1e6
+
+
+def main():
+    sb.ensure_fixture()
+    max_min = float(sys.argv[1]) if len(sys.argv) > 1 else 480.0
+    mem = sys.argv[2] if len(sys.argv) > 2 else "12g"
+    modes = sys.argv[3:] or ["gate_4n", "gate_n"]
+    deadline = time.time() + 60 * max_min
+    best_alu = ALU_FLOOR
+
+    # -- hunt a window ---------------------------------------------------
+    while True:
+        if time.time() > deadline:
+            print("hunter deadline hit with no window; exiting", flush=True)
+            return
+        st = gh.steal_frac(15)
+        alu = gh.alu_4p()
+        best_alu = max(best_alu, alu)
+        held = os.path.exists(HOLD)
+        quiet = st < MAX_STEAL and alu >= ALU_TOL * best_alu and not held
+        print(
+            f"probe steal={st:.2%} alu={alu:.1f}/{best_alu:.1f}"
+            f"{' HELD' if held else ''} -> {'RUN' if quiet else 'wait'}",
+            flush=True,
+        )
+        if quiet:
+            break
+        time.sleep(75)
+
+    pair_id = time.strftime("p%m%d_%H%M")
+    open(BUSY, "w").close()
+    try:
+        cal16 = alu_16p()
+        eff_4_16 = cal16 / (4 * alu)
+        print(
+            f"window-open ALU: 4p={alu:.1f} 16p={cal16:.1f} "
+            f"eff_4_to_16={eff_4_16:.3f}",
+            flush=True,
+        )
+        sampler = StatSampler()
+        sampler.start()
+        results = {}
+        for mode in modes:
+            sampler.phase = f"prewarm_{mode}"
+            prewarm_fixture()
+            sampler.phase = mode
+            note = (
+                f"prewarmed cache, window steal {st:.2%}, alu4p {alu:.0f}, "
+                f"alu16p {cal16:.0f} (eff {eff_4_16:.2f})"
+            )
+            r = append_round(mode, mem, pair_id, note)
+            results[mode] = r
+            print(
+                f"APPENDED {mode}@{mem}: wall={r['wall_s']}s "
+                f"steal={r['host_steal_frac']:.2%} sys={r['host_sys_frac']:.2%} "
+                f"stages={r['stages']}",
+                flush=True,
+            )
+            sampler.phase = "probe"
+            st2 = gh.steal_frac(10)
+            alu2 = gh.alu_4p()
+            print(f"re-probe: steal={st2:.2%} alu4p={alu2:.1f} Mops", flush=True)
+
+        sampler.stop_flag = True
+        diag = os.path.join(PH, f"diag_{pair_id}.json")
+        with open(diag, "w") as f:
+            json.dump(
+                {
+                    "pair_id": pair_id,
+                    "mem": mem,
+                    "alu4p": alu,
+                    "alu16p": cal16,
+                    "eff_4_to_16": round(eff_4_16, 3),
+                    "samples": sampler.samples,
+                },
+                f,
+            )
+        print(f"sampler -> {diag}", flush=True)
+
+        if "gate_4n" in results and "gate_n" in results:
+            eff = results["gate_n"]["wall_s"] / (4 * results["gate_4n"]["wall_s"])
+            print(
+                f"PAIRED EFFICIENCY ({pair_id}@{mem}): "
+                f"N={results['gate_n']['wall_s']}s "
+                f"4N={results['gate_4n']['wall_s']}s -> {eff:.3f}",
+                flush=True,
+            )
+    finally:
+        if os.path.exists(BUSY):
+            os.remove(BUSY)
+
+
+if __name__ == "__main__":
+    main()
