@@ -32,13 +32,19 @@ import scaling_bench as sb
 
 PH = os.path.join(sb.REPO, "BENCH", "phases")
 CONFIGS = {
-    # mode -> (phase file, key, n_executors, per-executor heap). Heaps are
-    # constant within each N-vs-4N pair; the fullbox pair runs 12g so that
-    # 8 pre-touched executors fit the box.
-    "gate_n": (os.path.join(PH, "gate_1_to_4.json"), "rounds_n", 1, "16g"),
-    "gate_4n": (os.path.join(PH, "gate_1_to_4.json"), "rounds_4n", 4, "16g"),
-    "fb_n": (os.path.join(PH, "fullbox_2_to_8.json"), "rounds_n", 2, "12g"),
-    "fb_4n": (os.path.join(PH, "fullbox_2_to_8.json"), "rounds_4n", 8, "12g"),
+    # mode -> (phase file, key, n_executors, cores/executor, heap). Heaps
+    # and cores are constant within each N-vs-4N pair (a node spec); the
+    # fullbox pair runs 12g so 8 pre-touched executors fit the box.
+    # gate2_* is the 2-core-executor variant: its 4N busies only 8 cores,
+    # inside the host's measured linear ALU/membw envelope, so the
+    # emulation artifact (shared DRAM at 16+ busy cores) stays out of the
+    # measurement — see BENCH/BASELINE.md §0.
+    "gate_n": (os.path.join(PH, "gate_1_to_4.json"), "rounds_n", 1, 4, "16g"),
+    "gate_4n": (os.path.join(PH, "gate_1_to_4.json"), "rounds_4n", 4, 4, "16g"),
+    "gate2_n": (os.path.join(PH, "gate2_1_to_4.json"), "rounds_n", 1, 2, "12g"),
+    "gate2_4n": (os.path.join(PH, "gate2_1_to_4.json"), "rounds_4n", 4, 2, "12g"),
+    "fb_n": (os.path.join(PH, "fullbox_2_to_8.json"), "rounds_n", 2, 4, "12g"),
+    "fb_4n": (os.path.join(PH, "fullbox_2_to_8.json"), "rounds_4n", 8, 4, "12g"),
 }
 MAX_STEAL = float(os.environ.get("HUNT_MAX_STEAL", "0.005"))
 ALU_TOL = float(os.environ.get("HUNT_ALU_TOL", "0.90"))
@@ -64,8 +70,11 @@ def alu_4p() -> float:
 
 
 def append_round(mode: str) -> dict:
-    path, key, p, mem = CONFIGS[mode]
-    r = sb.run_executors(p, 4, mem=mem)
+    path, key, p, cores, mem = CONFIGS[mode]
+    r = sb.run_executors(p, cores, mem=mem)
+    if not os.path.exists(path):
+        with open(path, "w") as f:
+            json.dump({"rounds_n": [], "rounds_4n": []}, f)
     with open(path) as f:
         d = json.load(f)
     d[key].append(r)

@@ -113,11 +113,14 @@ class StatSampler(threading.Thread):
 
 
 def append_round(mode: str, mem: str, pair_id: str, extra_note: str) -> dict:
-    path, key, p, _default_mem = gh.CONFIGS[mode]
-    r = sb.run_executors(p, 4, mem=mem)
+    path, key, p, cores, _default_mem = gh.CONFIGS[mode]
+    r = sb.run_executors(p, cores, mem=mem)
     r["pair_id"] = pair_id
     r["mem"] = mem
     r["note"] = f"paired-window ({extra_note})"
+    if not os.path.exists(path):
+        with open(path, "w") as f:
+            json.dump({"rounds_n": [], "rounds_4n": []}, f)
     with open(path) as f:
         d = json.load(f)
     d[key].append(r)

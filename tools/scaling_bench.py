@@ -385,6 +385,52 @@ def _alu_probe(seed):
     return 20_000_000 / (time.perf_counter() - t0)
 
 
+def _membw_probe(seed):
+    """One process's sustained DRAM bandwidth (GB/s): STREAM-style triad
+    over pre-faulted 64 MiB float64 buffers — no allocation, no page
+    faults, no Python objects in the loop — so the number is pure memory
+    traffic, the resource the parquet-decode/shuffle/Arrow stages live
+    on. Traffic counted: 2 reads + 1 write per element."""
+    import numpy as np
+
+    n = 8 * 1024 * 1024  # 64 MiB per buffer
+    b = np.full(n, float(seed + 1))
+    c = np.full(n, 2.0)
+    a = np.zeros(n)
+    np.add(b, c, out=a)  # fault everything in before timing
+    iters = 8
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        np.multiply(c, 0.5, out=a)
+        np.add(a, b, out=a)
+    dt = time.perf_counter() - t0
+    # per iter: multiply reads c writes a, add reads a+b writes a -> ~5 arrays
+    return iters * 5 * n * 8 / dt / 1e9
+
+
+def membw_calibration() -> dict:
+    """Hardware memory-bandwidth ceiling: aggregate triad GB/s at 1, 4,
+    and 16 concurrent processes. On one box all cores share the same
+    DRAM controllers, so aggregate bandwidth saturates far below Px the
+    single-proc number — a ceiling every memory-bound stage (parquet
+    decode, shuffle, Arrow transfer, codec) inherits in the N->4N
+    EMULATION but which a real cluster does NOT have (each node brings
+    its own DRAM). Published next to the ALU calibration so scored
+    rounds can be decomposed against both ceilings."""
+    import multiprocessing as mp
+
+    out = {}
+    for procs in (1, 2, 4, 8, 16, 32):
+        with mp.Pool(procs) as pool:
+            pool.map(_membw_probe, range(procs))  # warm (allocations)
+            rates = pool.map(_membw_probe, range(procs))
+        out[f"{procs}p_GBps"] = round(sum(rates), 2)
+    out["eff_2_to_8"] = round(out["8p_GBps"] / (4 * out["2p_GBps"]), 3)
+    out["eff_4_to_16"] = round(out["16p_GBps"] / (4 * out["4p_GBps"]), 3)
+    out["eff_8_to_32"] = round(out["32p_GBps"] / (4 * out["8p_GBps"]), 3)
+    return out
+
+
 def cpu_calibration() -> dict:
     """Hardware scaling ceiling: one pure-ALU, L1-resident loop (no memory
     traffic, no Spark, no Python objects) at 4/8/16/32 concurrent pinned
@@ -420,6 +466,13 @@ def main() -> None:
         return
     if len(sys.argv) >= 2 and sys.argv[1] == "kernel":
         print("PHASE_RESULT " + json.dumps(kernel_scaling()))
+        return
+    if len(sys.argv) >= 2 and sys.argv[1] == "membw":
+        r = membw_calibration()
+        os.makedirs(os.path.join(REPO, "BENCH", "phases"), exist_ok=True)
+        with open(os.path.join(REPO, "BENCH", "phases", "membw.json"), "w") as f:
+            json.dump(r, f)
+        print("PHASE_RESULT " + json.dumps(r))
         return
     if len(sys.argv) >= 2 and sys.argv[1] == "gate":
         ensure_fixture()
