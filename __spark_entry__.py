@@ -39,7 +39,7 @@ from sac2mseed_spark.functions.selections import (
 )
 from sac2mseed_spark.functions.ratapprox import rat_approx, rat_approx_sql
 from sac2mseed_spark.operators.gapfill import gap_fill
-from sac2mseed_spark.operators.ivf import knn_ivf
+from sac2mseed_spark.operators.ivf import knn_ivf, train_centroids
 from sac2mseed_spark.operators.gaps import gap_report
 from sac2mseed_spark.operators.pack import (
     pack_tier,
@@ -447,6 +447,25 @@ def q_knn_ivf(spark, sf_dir):
     )
 
 
+def q_knn_ivf_trained(spark, sf_dir):
+    """IVF ANN over PRODUCTION-TRAINED centroids: the deterministic
+    sampled spherical k-means trainer (operators/ivf.train_centroids —
+    bottom-256-by-md5 sample, farthest-point init, 10 Lloyd iterations,
+    every reduction a defined sequential fold) replaces the medoid seed;
+    the DuckDB twin replays the training bit-for-bit as unrolled CTEs
+    (_knn_ivf_trained_sql), so this row proves the trainer itself, not
+    just the probe pipeline."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = train_centroids(emb, n_centroids=8, n_iters=10, sample_cap=256)
+    return knn_ivf(
+        emb,
+        emb.filter(F.col("vec_id") % 50 == 0),
+        k=5,
+        expect_dims=64,
+        centroids=cents,
+    )
+
+
 def q_rat_approx(spark, sf_dir):
     """F4 ms_ratapprox analogue (genutils.c:1455-1521): per-conversation
     mean turn rate (turns/hour — the natural unit at transcript cadence,
@@ -538,6 +557,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_bruteforce": q_knn_bruteforce,
         "knn_lsh": q_knn_lsh,
         "knn_ivf": q_knn_ivf,
+        "knn_ivf_trained": q_knn_ivf_trained,
         "rat_approx": q_rat_approx,
         "retention_sweep": q_retention_sweep,
         "tiered_serve": q_tiered_serve,
@@ -988,6 +1008,132 @@ QUALIFY row_number() OVER w <= {k}
 """
 
 
+def _knn_ivf_trained_sql(
+    k: int = 5,
+    n_cent: int = 8,
+    nprobe: int = 2,
+    n_iters: int = 10,
+    cap: int = 256,
+    dims: int = 64,
+) -> str:
+    """DuckDB twin of q_knn_ivf_trained: replays train_centroids as
+    unrolled CTEs — bottom-``cap``-by-(md5, id) sample, per-row unit
+    normalization, farthest-point init (n_cent-1 steps), ``n_iters``
+    Lloyd iterations — then the standard IVF assign/probe/re-rank. Bit
+    parity holds because the Spark trainer uses ONLY defined sequential
+    folds: dims left-to-right == list_dot_product, member sums in sample
+    order with the first member as seed == list_reduce, scalar max ==
+    greatest, first-argmax/argmin ties == row_number tie-breaks."""
+    ew = f"list_transform(range(1, {dims + 1}), i -> a[i] + b[i])"
+    parts = [
+        f"""
+WITH samp AS MATERIALIZED (
+  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS ord,
+         CAST(embedding AS DOUBLE[]) AS v0
+  FROM embeddings
+  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {cap}
+),
+snorm AS MATERIALIZED (
+  SELECT ord,
+         list_transform(
+           v0, x -> x / greatest(sqrt(list_dot_product(v0, v0)), 1e-300)
+         ) AS sv
+  FROM samp
+),
+ch1 AS MATERIALIZED (SELECT 0 AS cid, sv FROM snorm WHERE ord = 1),
+bs1 AS MATERIALIZED (
+  SELECT s.ord, s.sv, list_dot_product(s.sv, c.sv) AS s
+  FROM snorm s, (SELECT sv FROM snorm WHERE ord = 1) c
+)"""
+    ]
+    for i in range(2, n_cent + 1):
+        parts.append(
+            f""",
+nx{i} AS MATERIALIZED (SELECT ord AS nord FROM bs{i - 1} ORDER BY s ASC, ord ASC LIMIT 1),
+ch{i} AS MATERIALIZED (
+  SELECT * FROM ch{i - 1}
+  UNION ALL
+  SELECT {i - 1} AS cid, sv FROM snorm, nx{i} WHERE ord = nord
+),
+bs{i} AS MATERIALIZED (
+  SELECT b.ord, b.sv, greatest(b.s, list_dot_product(b.sv, c.sv)) AS s
+  FROM bs{i - 1} b,
+       (SELECT s2.sv FROM snorm s2, nx{i} WHERE s2.ord = nord) c
+)"""
+        )
+    parts.append(f",\nm0 AS MATERIALIZED (SELECT cid, sv AS mv FROM ch{n_cent})")
+    for i in range(1, n_iters + 1):
+        parts.append(
+            f""",
+lab{i} AS MATERIALIZED (
+  SELECT ord, sv, cid FROM (
+    SELECT s.ord, s.sv, m.cid,
+           row_number() OVER (
+             PARTITION BY s.ord
+             ORDER BY list_dot_product(s.sv, m.mv) DESC, m.cid
+           ) AS rn
+    FROM snorm s, m{i - 1} m
+  ) WHERE rn = 1
+),
+agg{i} AS MATERIALIZED (
+  SELECT cid, list_reduce(list(sv ORDER BY ord), (a, b) -> {ew}) AS vsum
+  FROM lab{i} GROUP BY cid
+),
+m{i} AS MATERIALIZED (
+  SELECT m.cid,
+         CASE WHEN a.vsum IS NOT NULL
+                   AND sqrt(list_dot_product(a.vsum, a.vsum)) > 0
+              THEN list_transform(
+                     a.vsum,
+                     x -> x / sqrt(list_dot_product(a.vsum, a.vsum)))
+              ELSE m.mv END AS mv
+  FROM m{i - 1} m LEFT JOIN agg{i} a USING (cid)
+)"""
+        )
+    parts.append(
+        f""",
+c AS MATERIALIZED (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cent AS MATERIALIZED (SELECT cid, mv AS cv FROM m{n_iters}),
+sim_cc AS MATERIALIZED (
+  SELECT c.id, c.v, cent.cid,
+         list_dot_product(c.v, cent.cv) /
+           (sqrt(list_dot_product(c.v, c.v)) *
+            sqrt(list_dot_product(cent.cv, cent.cv))) AS s
+  FROM c, cent
+),
+asg AS MATERIALIZED (
+  SELECT id, v, cid FROM (
+    SELECT *, row_number() OVER (PARTITION BY id ORDER BY s DESC, cid) AS rn
+    FROM sim_cc
+  ) WHERE rn = 1
+),
+probes AS MATERIALIZED (
+  SELECT id AS query_id, v AS qv, cid FROM (
+    SELECT *, row_number() OVER (PARTITION BY id ORDER BY s DESC, cid) AS rn
+    FROM sim_cc WHERE id % 50 = 0
+  ) WHERE rn <= {nprobe}
+),
+cand AS MATERIALIZED (
+  SELECT p.query_id, p.qv, a.id AS neighbor_id, a.v AS cv
+  FROM probes p JOIN asg a USING (cid)
+  WHERE a.id <> p.query_id
+),
+sc AS MATERIALIZED (
+  SELECT query_id, neighbor_id,
+         round(list_dot_product(qv, cv) /
+               (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))),
+               6) AS sim
+  FROM cand
+)
+SELECT query_id, neighbor_id,
+       CAST(row_number() OVER w AS INTEGER) AS rank, sim
+FROM sc
+WINDOW w AS (PARTITION BY query_id ORDER BY sim DESC, neighbor_id)
+QUALIFY row_number() OVER w <= {k}"""
+    )
+    return "".join(parts)
+
+
 def _rat_approx_sql() -> str:
     inner = f"""{_ORACLE_PREFIX}
 SELECT conv_id, n_turns,
@@ -1228,6 +1374,7 @@ SELECT * FROM bad UNION ALL SELECT * FROM good""",
         "knn_bruteforce": _knn_sql(5),
         "knn_lsh": _knn_lsh_sql(5),
         "knn_ivf": _knn_ivf_sql(5),
+        "knn_ivf_trained": _knn_ivf_trained_sql(5),
         "rat_approx": _rat_approx_sql(),
         "retention_sweep": _retention_sweep_sql(),
         "tiered_serve": _tiered_serve_sql(),

@@ -70,17 +70,22 @@ def train_centroids(
     Returns the same (cids, M, norms) tuple _centroid_matrix returns, so
     ``knn_ivf(..., centroids=train_centroids(corpus))`` swaps the index
     seed without touching the assignment/probe/re-rank pipeline. cids are
-    0..n-1 (trained centroids are synthetic points, not corpus rows)."""
-    n_rows = corpus.count()
-    # deterministic ~sample_cap-row hash sample (no Spark RNG, no seed
-    # state): keep ids whose 64-bit hash falls in a fixed fraction
-    mod = max(int(n_rows // sample_cap), 1)
+    0..n-1 (trained centroids are synthetic points, not corpus rows).
+
+    Oracle-reproducible BY CONSTRUCTION: the sample is the bottom
+    ``sample_cap`` rows by (md5(sid), sid) — the same expression in Spark
+    and DuckDB, hash-uniform regardless of corpus size (closes the r4
+    lowest-id-prefix sampling bias) — and every float reduction is a
+    defined sequential fold: dimensions left-to-right (the
+    list_dot_product order, _seq_dot), members in sample order with the
+    first member as the fold seed (the list_reduce order). No BLAS
+    matmul anywhere, so the DuckDB twin (__spark_entry__._knn_ivf_trained
+    _sql) replays the init and every Lloyd iteration bit-for-bit."""
     rows = (
         corpus.select(
             F.col(id_col).cast("long").alias("sid"), F.col(vec_col).alias("sv")
         )
-        .filter(F.pmod(F.xxhash64(F.col("sid")), F.lit(mod)) == 0)
-        .orderBy("sid")
+        .orderBy(F.md5(F.col("sid").cast("string").cast("binary")), F.col("sid"))
         .limit(sample_cap)
         .collect()
     )
@@ -91,26 +96,39 @@ def train_centroids(
         )
     # unit-normalize once; spherical k-means maximizes cosine directly
     S = S / np.maximum(np.sqrt(_seq_dot(S, S)), 1e-300)[:, None]
+
+    def _sims_to(vec: np.ndarray) -> np.ndarray:
+        """dot(S[i], vec) for every sample row, sequential over dims."""
+        acc = np.zeros(len(S), dtype=np.float64)
+        for d in range(S.shape[1]):
+            acc += S[:, d] * vec[d]
+        return acc
+
     # deterministic farthest-point init (k-means++ without RNG): start at
-    # the lowest-id sample, then repeatedly take the point least similar
-    # to its nearest chosen centroid — spreads seeds across clusters even
-    # when low ids all share one cluster (stable ties -> lowest index)
+    # the first sample (in hash order), then repeatedly take the point
+    # least similar to its nearest chosen centroid — spreads seeds across
+    # clusters (stable ties -> lowest sample index)
     chosen = [0]
-    best_sim = S @ S[0]
+    best_sim = _sims_to(S[0])
     for _ in range(1, n_centroids):
         nxt = int(np.argmin(best_sim))
         chosen.append(nxt)
-        best_sim = np.maximum(best_sim, S @ S[nxt])
+        best_sim = np.maximum(best_sim, _sims_to(S[nxt]))
     M = S[chosen].copy()
     for _ in range(n_iters):
-        sim = S @ M.T
+        # (rows x centroids) similarity via the same sequential dim fold
+        sim = np.zeros((len(S), n_centroids), dtype=np.float64)
+        for d in range(S.shape[1]):
+            sim += S[:, d, None] * M[None, :, d]
         # stable ties -> lowest centroid id
         lab = np.argmax(sim, axis=1)
         for c in range(n_centroids):
-            members = S[lab == c]
-            if len(members):
-                v = members.sum(axis=0)
-                n = np.sqrt(np.dot(v, v))
+            idx = np.nonzero(lab == c)[0]
+            if len(idx):
+                v = S[idx[0]].copy()
+                for j in idx[1:]:  # left fold in sample order
+                    v = v + S[j]
+                n = np.sqrt(_seq_dot(v[None, :], v[None, :])[0])
                 if n > 0:
                     M[c] = v / n
     cids = np.arange(n_centroids, dtype=np.int64)

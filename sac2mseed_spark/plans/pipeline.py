@@ -267,12 +267,16 @@ class IncrementalRollup:
         touched: DataFrame | None = None,
         bound_us: int | None = None,
         healed_through: int | None = None,
+        touched_on: list[str] | None = None,
     ) -> DataFrame | None:
         """MERGE-on-read: union the chain <= version, latest-version-wins
-        per key. ``touched`` (a keys-only DataFrame) semi-joins each
-        chain entry down to the rows a merge needs — with parquet row-group
-        min/max stats this prunes most of each delta file; Iceberg would
-        prune at manifest level. ``bound_us`` applies the committed
+        per key. ``touched`` (a DataFrame of ``touched_on`` columns,
+        default ``keys``) semi-joins each chain entry down to the rows a
+        merge needs — with parquet row-group min/max stats this prunes
+        most of each delta file; Iceberg would prune at manifest level.
+        ``touched_on`` may be a key prefix (e.g. just conv_id when the
+        caller needs every window of the touched conversations — the
+        packed re-encode path). ``bound_us`` applies the committed
         retention predicate (metadata-only DELETE, module doc)."""
         dirs = self._chain_dirs(base, version, healed_through)
         if not dirs:
@@ -281,7 +285,7 @@ class IncrementalRollup:
         for i, path in enumerate(dirs):
             df = self.spark.read.parquet(path)
             if touched is not None:
-                df = df.join(touched, keys, "left_semi")
+                df = df.join(touched, touched_on or keys, "left_semi")
             parts.append(df.withColumn("_v", F.lit(i)))
         df = reduce(DataFrame.unionByName, parts)
         if bound_us is not None:
@@ -531,20 +535,28 @@ class IncrementalRollup:
             delta_pts = delta_pts.filter(
                 window_start_col(F.col("ts_us"), tier) >= F.lit(lo)
             )
-        prev = self.packed_tier(tier, prev_version)
+        touched = delta_pts.select(
+            "conv_id",
+            window_start_col(F.col("ts_us"), tier).alias("window_start_us"),
+        ).distinct()
+        # chain read pruned to the touched CONVERSATIONS at each delta file
+        # (semi-join below the latest-wins window, so parquet row-group
+        # stats prune unread convs): all windows of a touched conversation
+        # are needed to restore old points' turn_idx from cumulative
+        # n_points — a metadata scan; only the touched windows' payloads
+        # are decoded below
+        prev = self._resolve_chain(
+            self._packed_base(tier),
+            prev_version,
+            _WINDOW_KEYS,
+            touched=touched.select("conv_id").distinct(),
+            touched_on=["conv_id"],
+            bound_us=lo,
+        ) if prev_version > 0 else None
         if prev is None:
             pts = delta_pts
         else:
-            touched = delta_pts.select(
-                "conv_id",
-                window_start_col(F.col("ts_us"), tier).alias("window_start_us"),
-            ).distinct()
-            # all windows of the touched conversations: needed to restore
-            # old points' turn_idx from cumulative n_points — a metadata
-            # scan; only the touched windows' payloads are decoded
-            prev_conv = prev.join(
-                touched.select("conv_id").distinct(), "conv_id", "left_semi"
-            )
+            prev_conv = prev
             woff = (
                 Window.partitionBy("conv_id")
                 .orderBy("window_start_us")
@@ -603,12 +615,23 @@ class IncrementalRollup:
         if v == 0:
             return 0
         self._gc_uncommitted_heal(state)
-        pend_dirs = [
-            p
-            for p in self._chain_dirs(self._pending_base(), v)
-            if int(_DELTA_RE.match(os.path.basename(p)).group(1))
-            > state["healed_through"]
-        ]
+        # EVERY pending dir is due, regardless of version: heal deletes
+        # the dirs it processed only AFTER the watermark commit, so a
+        # leftover means "not certainly healed" and is re-healed (the
+        # repair is a deterministic overwrite — idempotent). Flags can
+        # also arrive from the streaming path at an already-healed
+        # version (streaming/rollup_stream.route_ooo_to_pending); a
+        # watermark filter here would drop those forever.
+        base = self._pending_base()
+        pend_dirs = (
+            [
+                os.path.join(base, n)
+                for n in sorted(os.listdir(base))
+                if _DELTA_RE.match(n)
+            ]
+            if os.path.isdir(base)
+            else []
+        )
         if not pend_dirs:
             return 0
         convs = (
@@ -664,6 +687,11 @@ class IncrementalRollup:
         convs.unpersist()
         state["healed_through"] = v
         self._commit_ckpt(state)
+        # delete the processed pending dirs only now: a crash before this
+        # point re-heals them (idempotent); deleting earlier could lose
+        # flags. Dirs that appeared concurrently stay for the next heal.
+        for p in pend_dirs:
+            shutil.rmtree(p, ignore_errors=True)
         return n_convs
 
     # -- retention (downsample-and-expire) ------------------------------
@@ -797,11 +825,9 @@ class IncrementalRollup:
             for p in self._chain_dirs(base, v, state["healed_through"]):
                 shutil.rmtree(p)
             os.replace(tmp, self._delta_path(base, v))
-        # pending entries at or before the healed watermark are spent
-        for p in self._chain_dirs(
-            self._pending_base(), state["healed_through"], state["healed_through"]
-        ):
-            shutil.rmtree(p)
+        # pending dirs are NOT touched here: heal() owns their lifecycle
+        # (a leftover means not-certainly-healed under its deletion
+        # protocol, and compacting must never lose heal flags)
         state.pop("compact_intent")
         self._commit_ckpt(state)
 
@@ -855,10 +881,6 @@ class IncrementalRollup:
             resolved.write.mode("overwrite").parquet(tmp)
             staged += 1
         if staged == 0:
-            for p in self._chain_dirs(
-                self._pending_base(), state["healed_through"], state["healed_through"]
-            ):
-                shutil.rmtree(p)
             return
         state["compact_intent"] = v
         self._commit_ckpt(state)

@@ -53,15 +53,24 @@ def stream_metrics_stateful(transcripts: DataFrame) -> DataFrame:
     1003-1039): per conv_id the state carries (last_turn_idx, last_ts_us)
     so the first turn of a conversation's continuation in a later
     micro-batch still gets its true inter-turn latency — the streaming
-    twin of plans/pipeline's carried conv-state. Assumes append-ordered
-    delivery per conversation (late/out-of-order backfill belongs to the
-    batch path, like the reference's heal pass).
+    twin of plans/pipeline's carried conv-state.
+
+    The fast path assumes append-ordered delivery per conversation; a
+    violation (this micro-batch's min turn_idx at or before the carried
+    last_turn_idx — the same predicate as the batch path's detector,
+    plans/pipeline._process_one) does NOT silently corrupt: the group's
+    rows are emitted with ``ooo = true``, and ``route_ooo_to_pending``
+    (or any foreachBatch sink) hands those conversations to the batch
+    ``heal()`` pass — the streaming twin of the reference's
+    mstl_addmsr-out-of-order -> mst_groupheal flow (tracelist.c:392-556,
+    traceutils.c:776-915).
     """
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     out_schema = (
-        "conv_id string, turn_idx int, ts_us long, latency_us long, token_count long"
+        "conv_id string, turn_idx int, ts_us long, latency_us long,"
+        " token_count long, ooo boolean"
     )
     state_schema = "last_turn_idx long, last_ts_us long"
 
@@ -76,13 +85,21 @@ def stream_metrics_stateful(transcripts: DataFrame) -> DataFrame:
         ts_us = (pdf["ts"].astype("datetime64[us]").astype("int64")).to_numpy()
         lat = ts_us.astype("object")
         lat[1:] = ts_us[1:] - ts_us[:-1]
+        ooo = False
         if state.exists:
-            _, last_ts = state.get
+            last_turn, last_ts = state.get
             lat[0] = int(ts_us[0]) - last_ts
+            ooo = int(pdf["turn_idx"].iloc[0]) <= last_turn
         else:
             lat[0] = None
         tok = [len(t.split()) if isinstance(t, str) else 0 for t in pdf["text"]]
-        state.update((int(pdf["turn_idx"].iloc[-1]), int(ts_us[-1])))
+        state.update(
+            (
+                max(int(pdf["turn_idx"].iloc[-1]),
+                    last_turn if state.exists else -1),
+                max(int(ts_us[-1]), last_ts if state.exists else -(1 << 62)),
+            )
+        )
         yield pd.DataFrame(
             {
                 "conv_id": conv_id,
@@ -90,12 +107,72 @@ def stream_metrics_stateful(transcripts: DataFrame) -> DataFrame:
                 "ts_us": ts_us,
                 "latency_us": lat,
                 "token_count": tok,
+                "ooo": ooo,
             }
         )
 
     return transcripts.groupBy("conv_id").applyInPandasWithState(
         fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
     )
+
+
+def route_ooo_to_pending(metrics_batch: DataFrame, work_dir: str) -> int:
+    """Hand a micro-batch's out-of-order conversations to the batch heal
+    pass: append their conv_ids under ``{work_dir}/heal_pending/`` where
+    ``IncrementalRollup.heal()`` picks them up (its deletion protocol
+    reads EVERY pending dir, so flags routed at an already-healed
+    version are never dropped). Returns the number flagged.
+
+    The pending dir is keyed by the pipeline's current committed version
+    (or 1 before any commit) and written in append mode: replayed
+    micro-batches at-least-once-append duplicates, which heal's
+    ``distinct()`` absorbs — same idempotence story as the snapshot path.
+    """
+    import os
+
+    from ..plans.pipeline import IncrementalRollup
+
+    flagged = metrics_batch.filter(F.col("ooo")).select("conv_id").distinct()
+    n = flagged.count()
+    if n == 0:
+        return 0
+    inc = IncrementalRollup(metrics_batch.sparkSession, "/nonexistent", work_dir)
+    v = max(inc._read_ckpt()["version"], 1)
+    flagged.write.mode("append").parquet(
+        os.path.join(work_dir, "heal_pending", f"d{v:08d}")
+    )
+    return n
+
+
+def stateful_metrics_sink(
+    metrics_stream: DataFrame,
+    out_path: str,
+    checkpoint: str,
+    work_dir: str | None = None,
+    trigger_available_now: bool = True,
+):
+    """Sink for ``stream_metrics_stateful`` output: append the metric
+    rows to parquet AND, when ``work_dir`` names an IncrementalRollup
+    store, route each micro-batch's ``ooo``-flagged conversations into
+    its ``heal_pending/`` (route_ooo_to_pending) so the next ``heal()``
+    repairs them to batch parity — closing the streaming path's
+    out-of-order story instead of documenting a precondition."""
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.persist()
+        batch_df.write.mode("append").parquet(out_path)
+        if work_dir is not None:
+            route_ooo_to_pending(batch_df, work_dir)
+        batch_df.unpersist()
+
+    w = (
+        metrics_stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if trigger_available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()
 
 
 def stream_rollup(

@@ -146,14 +146,21 @@ def test_heal_crash_replay(spark, ooo_snapshots, tmp_path):
     inc = IncrementalRollup(spark, src, work, pack_tiers=("1m",))
     inc.process_pending()
 
-    # simulate the crash: run a full heal, then roll back the watermark
-    # and delete one family's heal dir — exactly the on-disk state of a
-    # process killed between the aggregate writes and the commit
+    # simulate the crash: run a full heal, then roll back the watermark,
+    # delete one family's heal dir, and restore the pending dirs heal
+    # consumed — exactly the on-disk state of a process killed between
+    # the aggregate writes and the commit (pending deletion happens only
+    # AFTER the commit, so a pre-commit crash still has the flags)
+    pend = os.path.join(work, "heal_pending")
+    pend_copy = str(tmp_path / "pend_copy")
+    shutil.copytree(pend, pend_copy)
     state_before = inc._read_ckpt()
     assert inc.heal() > 0
     state_after = inc._read_ckpt()
     assert state_after["healed_through"] == 4
     shutil.rmtree(os.path.join(work, "packed", "1m", "d00000004h"))
+    shutil.rmtree(pend, ignore_errors=True)
+    shutil.copytree(pend_copy, pend)
     state_after["healed_through"] = state_before["healed_through"]
     inc._commit_ckpt(state_after)
 

@@ -118,3 +118,70 @@ def test_metrics_lineage(spark, snapshots, tmp_path):
     # checkpoint file records version 3
     with open(os.path.join(work, "_checkpoint.json")) as f:
         assert json.load(f)["version"] == 3
+
+
+def test_chain_reads_are_touched_pruned(spark, snapshots, tmp_path):
+    """Guard the delta-sized-merge claim: every chain read issued while
+    processing a snapshot passes a ``touched`` key set, and the rows it
+    actually returns are bounded by that key set — NOT by the table size
+    (plans/pipeline._resolve_chain semi-join). Regressing to a full-chain
+    merge would break the per-snapshot-cost-is-delta-proportional design
+    (VERDICT r4 task 7)."""
+    src, full_t = snapshots
+    work = str(tmp_path / "work_prune")
+    inc = IncrementalRollup(spark, src, work)
+
+    # catch up through snapshot 2; spy on snapshot 3's chain reads
+    state = inc._read_ckpt()
+    snaps = list_snapshots(src)
+    for sid, path in snaps[:2]:
+        inc._process_one(state, sid, path)
+        state["version"] = sid
+        inc._commit_ckpt(state)
+
+    calls = []
+    orig = IncrementalRollup._resolve_chain
+
+    def spy(self, base, version, keys, touched=None, bound_us=None,
+            healed_through=None, touched_on=None):
+        calls.append({"base": base, "version": version, "keys": keys,
+                      "touched": touched, "touched_on": touched_on})
+        return orig(self, base, version, keys, touched=touched,
+                    bound_us=bound_us, healed_through=healed_through,
+                    touched_on=touched_on)
+
+    IncrementalRollup._resolve_chain = spy
+    try:
+        inc._process_one(state, *snaps[2])
+    finally:
+        IncrementalRollup._resolve_chain = orig
+
+    assert calls, "no chain reads spied"
+    window_checked = conv_checked = 0
+    for c in calls:
+        # EVERY chain read issued while processing a snapshot is pruned —
+        # tier merges by touched window, packed re-encode and conv-state
+        # by touched conversation. A None here is a regression to a
+        # full-table merge.
+        assert c["touched"] is not None, f"un-pruned chain read: {c['base']}"
+        n_touched = c["touched"].distinct().count()
+        full = orig(inc, c["base"], c["version"], c["keys"])
+        got = orig(inc, c["base"], c["version"], c["keys"],
+                   touched=c["touched"], touched_on=c["touched_on"])
+        n_full = full.count() if full is not None else 0
+        n_got = got.count() if got is not None else 0
+        if (c["touched_on"] or c["keys"]) == c["keys"]:
+            # window-keyed prune: the merge read is bounded by |touched|,
+            # and snapshot 3 (turns >= 60) touches a strict subset of the
+            # 1m windows so pruning must actually bite
+            assert n_got <= n_touched, (c["base"], n_got, n_touched)
+            if "1m" in c["base"]:
+                assert n_got < n_full, "semi-join did not prune any rows"
+                window_checked += 1
+        else:
+            # conv-keyed prune (packed path): bounded by the touched
+            # conversations' windows — strictly fewer rows than the
+            # chain holds (snapshot 3 touches only the >60-turn convs)
+            assert n_got < n_full, (c["base"], n_got, n_full)
+            conv_checked += 1
+    assert window_checked >= 1 and conv_checked >= 1

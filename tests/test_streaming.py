@@ -83,6 +83,93 @@ def test_stream_sessionize_matches_batch(spark, stream_setup):
     assert got == want
 
 
+def test_streaming_ooo_routes_to_heal_pending(spark, tmp_path):
+    """Out-of-order rows through the STATEFUL STREAMING path are flagged
+    (ooo column), routed into the pipeline's heal_pending/ by
+    stateful_metrics_sink, and the next heal() repairs the tiers to
+    byte-identity with a batch recompute — the streaming twin of the
+    batch detector in plans/pipeline._process_one."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as FF
+
+    from sac2mseed_spark.operators.pack import pack_tier
+    from sac2mseed_spark.operators.rollup import rollup_from_turns
+    from sac2mseed_spark.plans.pipeline import IncrementalRollup
+    from sac2mseed_spark.streaming.rollup_stream import stateful_metrics_sink
+
+    from sac2mseed_spark.streaming.rollup_stream import stream_metrics_stateful
+
+    bounds = [(0, 20), (40, 60), (20, 40), (60, 10_000)]  # snap 3 is late
+    t = generate_transcripts(spark, "t_small", seed=42)
+    src = str(tmp_path / "snaps")
+    stream_src = str(tmp_path / "stream_src")
+    os.makedirs(stream_src)
+    for i, (lo, hi) in enumerate(bounds, start=1):
+        part = t.filter((FF.col("turn_idx") >= lo) & (FF.col("turn_idx") < hi))
+        part.write.mode("overwrite").parquet(os.path.join(src, f"snap_{i:08d}"))
+        # single file per phase so maxFilesPerTrigger=1 delivers the
+        # phases in exactly this (out-of-order) sequence
+        part.coalesce(1).write.mode("append").parquet(stream_src)
+
+    work = str(tmp_path / "work")
+    inc = IncrementalRollup(spark, src, work, pack_tiers=("1m",))
+    inc.process_pending()
+    # drop the BATCH detector's own flags: what remains pending afterwards
+    # came from the streaming path alone
+    shutil.rmtree(os.path.join(work, "heal_pending"), ignore_errors=True)
+    assert inc.heal() == 0
+
+    stream = (
+        spark.readStream.schema(t.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stream_src)
+    )
+    out = str(tmp_path / "metrics_out")
+    q = stateful_metrics_sink(
+        stream_metrics_stateful(stream), out, str(tmp_path / "ckpt"),
+        work_dir=work,
+    )
+    q.awaitTermination(180)
+
+    # the routed flags are exactly the conversations whose turns [20,40)
+    # arrived after [40,60)
+    pend = os.path.join(work, "heal_pending")
+    assert os.path.isdir(pend) and os.listdir(pend)
+    flagged = {
+        r["conv_id"]
+        for r in spark.read.parquet(os.path.join(pend, "*")).collect()
+    }
+    n_per_conv = {
+        r["conv_id"]: r["n"]
+        for r in t.groupBy("conv_id").agg(FF.count("*").alias("n")).collect()
+    }
+    assert flagged == {c for c, n in n_per_conv.items() if n > 40}
+
+    assert inc.heal() == len(flagged)
+    full_m = derive_turn_metrics(t)
+    got = {
+        tuple(r)
+        for r in inc.tier("1h").collect()
+    }
+    want = {
+        tuple(r)
+        for r in rollup_from_turns(full_m, "1h")
+        .select(*inc.tier("1h").columns).collect()
+    }
+    assert got == want
+    got_p = {
+        (r["conv_id"], r["window_start_us"]): bytes(r["payload"])
+        for r in inc.packed_tier("1m").collect()
+    }
+    want_p = {
+        (r["conv_id"], r["window_start_us"]): bytes(r["payload"])
+        for r in pack_tier(full_m, "1m").collect()
+    }
+    assert got_p == want_p
+
+
 def test_stateful_metrics_carry_latency_across_batches(spark, stream_setup, tmp_path):
     """applyInPandasWithState: the first turn of a conversation's
     continuation in micro-batch 2 gets its true latency from carried

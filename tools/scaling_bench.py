@@ -85,6 +85,7 @@ def _pipeline_once(spark, conv_slice=None, with_counts=True):
     # carry ~60 B/turn of metrics, not the text bytes (token_count is
     # consumed map-side below the exchange — functions/metrics.py)
     stages = {}
+    stage_ts = {"start": round(time.time(), 2)}
     t = time.perf_counter()
     m = slim_metrics(
         derive_turn_metrics(
@@ -95,6 +96,7 @@ def _pipeline_once(spark, conv_slice=None, with_counts=True):
     if not with_counts:
         force(m)
     stages["metrics"] = round(time.perf_counter() - t, 2)
+    stage_ts["metrics_end"] = round(time.time(), 2)
     # cascade with each tier read exactly once: 1m from raw, 1h/1d from the
     # persisted 1m. Counts (deterministic per slice) only when asked —
     # timed iterations materialize the tiers with the minimum job count.
@@ -113,15 +115,17 @@ def _pipeline_once(spark, conv_slice=None, with_counts=True):
         # one action materializes BOTH upper tiers from the cached 1m
         force(t1h.unionByName(rollup_from_tier(t1h, "1d")))
     stages["cascade"] = round(time.perf_counter() - t, 2)
+    stage_ts["cascade_end"] = round(time.time(), 2)
     # m is already hash-partitioned AND (conv_id, turn_idx, ts)-sorted by
     # the lag window -> the pack skips both its exchange and its sort
     # (byte identity asserted by tests/test_pack_spark.py)
     t = time.perf_counter()
     force(pack_tier(m, "1m", assume_sorted=True))
     stages["pack"] = round(time.perf_counter() - t, 2)
+    stage_ts["pack_end"] = round(time.time(), 2)
     t1m.unpersist()
     m.unpersist()
-    return n_turns, rolled, stages
+    return n_turns, rolled, stages, stage_ts
 
 
 def worker(cores: int) -> None:
@@ -136,7 +140,7 @@ def worker(cores: int) -> None:
     stages = None
     for i in range(ITERS):
         t0 = time.perf_counter()
-        n_turns, rolled, st = _pipeline_once(spark)
+        n_turns, rolled, st, _ = _pipeline_once(spark)
         dt = time.perf_counter() - t0
         if i > 0:  # iteration 0 warms codegen + python workers
             if best is None or dt < best:
@@ -195,8 +199,24 @@ def exec_worker(p: int, n_exec: int, cores: int) -> None:
     from sac2mseed_spark.session import get_spark
 
     barrier_dir = os.environ.get("SCALING_BARRIER_DIR")
+    # Per-executor tmpfs shuffle dir: a real cluster node brings its OWN
+    # local disk for shuffle/spill; on this single-box emulation the
+    # default (/tmp, one shared virtio disk queue + dirty-page writeback)
+    # makes P concurrent executors contend on a device no real cluster
+    # shares. tmpfs gives each emulated node an independent "local SSD"
+    # (shuffle data needs no durability) — symmetric at every P, sized
+    # well under the box (one slice's shuffle is ~2 GB; /dev/shm is 126G).
+    local_dir = f"/dev/shm/sac2mseed_local_p{p}"
+    os.makedirs(local_dir, exist_ok=True)
+    import atexit
+    import shutil as _sh
+
+    atexit.register(lambda: _sh.rmtree(local_dir, ignore_errors=True))
     spark = get_spark(
-        f"exec_{p}_{n_exec}", master=f"local[{cores}]", shuffle_partitions=2 * cores
+        f"exec_{p}_{n_exec}",
+        master=f"local[{cores}]",
+        shuffle_partitions=2 * cores,
+        extra_conf={"spark.local.dir": local_dir},
     )
     spark.sparkContext.setLogLevel("ERROR")
     # Warm-up must run the EXACT plan shape of the timed iteration
@@ -211,7 +231,7 @@ def exec_worker(p: int, n_exec: int, cores: int) -> None:
     # cluster job.
     cached = _cached_counts(p, n_exec)
     if cached is None:
-        n_turns, rolled, _ = _pipeline_once(spark, conv_slice=(p, n_exec))
+        n_turns, rolled, _, _ = _pipeline_once(spark, conv_slice=(p, n_exec))
         _store_counts(p, n_exec, n_turns, rolled)
     else:
         n_turns, rolled = cached
@@ -221,7 +241,9 @@ def exec_worker(p: int, n_exec: int, cores: int) -> None:
         while not os.path.exists(os.path.join(barrier_dir, "GO")):
             time.sleep(0.2)
     t0 = time.perf_counter()
-    _, _, stages = _pipeline_once(spark, conv_slice=(p, n_exec), with_counts=False)
+    _, _, stages, stage_ts = _pipeline_once(
+        spark, conv_slice=(p, n_exec), with_counts=False
+    )
     best = time.perf_counter() - t0
     print(
         "EXEC_RESULT "
@@ -232,6 +254,7 @@ def exec_worker(p: int, n_exec: int, cores: int) -> None:
                 "rolled_points": rolled,
                 "wall_s": round(best, 3),
                 "stages": stages,
+                "stage_ts": stage_ts,
             }
         )
     )
@@ -341,6 +364,19 @@ def run_executors(
         "host_steal_frac": steal_frac,
         "host_sys_frac": sys_frac,
         "stages": max(results, key=lambda r: r["wall_s"]).get("stages"),
+        # full per-executor detail: straggler skew vs uniform contention
+        # is THE diagnostic distinction for the N->4N gate, and absolute
+        # stage timestamps let diag-sampler sys/steal series be attributed
+        # to a specific stage of a specific executor
+        "per_exec": [
+            {
+                "p": r["p"],
+                "wall_s": r["wall_s"],
+                "stages": r.get("stages"),
+                "stage_ts": r.get("stage_ts"),
+            }
+            for r in sorted(results, key=lambda r: r["p"])
+        ],
     }
 
 
