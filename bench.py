@@ -117,7 +117,9 @@ def main():
 
     # ---- fixtures (materialized once, outside all timing) ----
     t = generate_transcripts(spark, "t_bench", seed=42)
-    m = slim_metrics(derive_turn_metrics(t)).persist()
+    # generator text is single-space by construction -> audited zero-regex
+    # tokenizer (identical values, tests assert; ~2x cheaper map stage)
+    m = slim_metrics(derive_turn_metrics(t, single_space_tokens=True)).persist()
     n_turns = m.count()
     tiers = rollup_cascade(m)
     rolled_points = tiers["1m"].count() + tiers["1h"].count() + tiers["1d"].count()

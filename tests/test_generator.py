@@ -102,3 +102,39 @@ def test_materialized_table_roundtrip_and_slicing(spark, tmp_path):
         assert all(
             not (convs[i] & convs[j]) for i in range(P) for j in range(i + 1, P)
         )
+
+
+def test_single_space_tokenizer_contract(spark):
+    """The zero-regex single-space tokenizer equals the general \\s+-run
+    definition on generator corpora (single-space-joined words by
+    construction) — and the test also pins WHERE they diverge (tabs,
+    consecutive spaces), so choosing the fast path is an explicit,
+    audited corpus property, not an approximation."""
+    from pyspark.sql import functions as F
+
+    from sac2mseed_spark.functions.metrics import token_count_col
+    from sac2mseed_spark.sources.transcripts import generate_transcripts
+
+    t = generate_transcripts(spark, "t_small", seed=7).select("text")
+    diff = t.select(
+        token_count_col().alias("a"),
+        token_count_col(single_space=True).alias("b"),
+    ).filter(F.col("a") != F.col("b"))
+    assert diff.count() == 0
+
+    edge = spark.createDataFrame(
+        [("a\tb",), ("a  b",), ("",), ("   ",), ("one",)], "text string"
+    )
+    rows = {
+        r["text"]: (r["a"], r["b"])
+        for r in edge.select(
+            "text",
+            token_count_col().alias("a"),
+            token_count_col(single_space=True).alias("b"),
+        ).collect()
+    }
+    assert rows["a\tb"] == (2, 1)   # tab separates only under \s+
+    assert rows["a  b"] == (2, 3)   # run of spaces counted once vs twice
+    assert rows[""] == (0, 0)
+    assert rows["   "] == (0, 0)
+    assert rows["one"] == (1, 1)

@@ -223,14 +223,15 @@ def main():
             )
         print(f"sampler -> {diag}", flush=True)
 
-        if "gate_4n" in results and "gate_n" in results:
-            eff = results["gate_n"]["wall_s"] / (4 * results["gate_4n"]["wall_s"])
-            print(
-                f"PAIRED EFFICIENCY ({pair_id}@{mem}): "
-                f"N={results['gate_n']['wall_s']}s "
-                f"4N={results['gate_4n']['wall_s']}s -> {eff:.3f}",
-                flush=True,
-            )
+        for fam in {m.rsplit("_", 1)[0] for m in results}:
+            n_r, x_r = results.get(f"{fam}_n"), results.get(f"{fam}_4n")
+            if n_r and x_r:
+                eff = n_r["wall_s"] / (4 * x_r["wall_s"])
+                print(
+                    f"PAIRED EFFICIENCY {fam} ({pair_id}@{mem}): "
+                    f"N={n_r['wall_s']}s 4N={x_r['wall_s']}s -> {eff:.3f}",
+                    flush=True,
+                )
     finally:
         if os.path.exists(BUSY):
             os.remove(BUSY)
