@@ -88,7 +88,7 @@ def show(name, path, factor=4):
 
 
 if __name__ == "__main__":
-    for name in ("gate_1_to_4", "fullbox_2_to_8"):
+    for name in ("gate2_1_to_4", "gate_1_to_4", "fullbox_2_to_8"):
         p = os.path.join(PH, f"{name}.json")
         if os.path.exists(p):
             show(name, p)
