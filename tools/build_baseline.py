@@ -48,6 +48,9 @@ def pair_scores(d: dict) -> list[dict]:
                     "n": n,
                     "x": x,
                     "eff": round(n["wall_s"] / (4 * x["wall_s"]), 3),
+                    # legs measured before validity-tagging exist with no
+                    # 'valid' key; treat explicit false as invalid
+                    "valid": n.get("valid", True) and x.get("valid", True),
                 }
             )
     return out
@@ -93,21 +96,37 @@ NOT MEASURED on the current fixture ({busy} busy cores at 4N;
             f" `BENCH/phases/{fname}`):"
         )
         lines.append("")
-        lines.append("| pair | N wall | 4N wall | paired efficiency |")
-        lines.append("|---|---|---|---|")
+        lines.append("| pair | window | N wall | 4N wall | paired efficiency |")
+        lines.append("|---|---|---|---|---|")
         for p in pairs:
+            why = ""
+            if not p["valid"]:
+                why = (p["n"].get("invalid_reason")
+                       or p["x"].get("invalid_reason") or "window lost")
+                why = f" VOID — {why}"
             lines.append(
-                f"| {p['pair_id']} | {_round_line(p['n'])} |"
+                f"| {p['pair_id']} | {'held' if p['valid'] else why.strip()} |"
+                f" {_round_line(p['n'])} |"
                 f" {_round_line(p['x'])} | **{p['eff']}** |"
             )
-        best_pair = max(pairs, key=lambda p: p["eff"])
+        valid = [p for p in pairs if p["valid"]]
         lines.append("")
-        lines.append(
-            f"Best paired efficiency: **{best_pair['eff']}**"
-            f" (pair {best_pair['pair_id']}). Scored stage walls"
-            f" (slowest executor) — N: {best_pair['n'].get('stages')},"
-            f" 4N: {best_pair['x'].get('stages')}."
-        )
+        if valid:
+            best_pair = max(valid, key=lambda p: p["eff"])
+            lines.append(
+                f"**Scored (validated-window) paired efficiency:"
+                f" {best_pair['eff']}** (pair {best_pair['pair_id']};"
+                f" window verified quiet by steal probe + ALU calibration"
+                f" before AND after each leg). Scored stage walls"
+                f" (slowest executor) — N: {best_pair['n'].get('stages')},"
+                f" 4N: {best_pair['x'].get('stages')}."
+            )
+        else:
+            lines.append(
+                "No validated-window pair yet — every pair so far lost its"
+                " window mid-measurement (post-leg ALU/steal check); VOID"
+                " rows are kept above for transparency but not scored."
+            )
     else:
         lines.append("No paired same-window rounds recorded yet.")
     if beff is not None:

@@ -112,12 +112,17 @@ class StatSampler(threading.Thread):
             prev = cur
 
 
-def append_round(mode: str, mem: str, pair_id: str, extra_note: str) -> dict:
-    path, key, p, cores, _default_mem = gh.CONFIGS[mode]
+def run_round(mode: str, mem: str, pair_id: str, extra_note: str) -> dict:
+    _path, _key, p, cores, _default_mem = gh.CONFIGS[mode]
     r = sb.run_executors(p, cores, mem=mem)
     r["pair_id"] = pair_id
     r["mem"] = mem
     r["note"] = f"paired-window ({extra_note})"
+    return r
+
+
+def append_round(mode: str, r: dict) -> None:
+    path, key, _p, _cores, _default_mem = gh.CONFIGS[mode]
     if not os.path.exists(path):
         with open(path, "w") as f:
             json.dump({"rounds_n": [], "rounds_4n": []}, f)
@@ -128,7 +133,6 @@ def append_round(mode: str, mem: str, pair_id: str, extra_note: str) -> dict:
     with open(tmp, "w") as f:
         json.dump(d, f)
     os.replace(tmp, path)
-    return r
 
 
 HOLD = "/tmp/gate_hold"
@@ -146,46 +150,33 @@ def alu_16p() -> float:
         return sum(pool.map(sb._alu_probe, range(16))) / 1e6
 
 
-def main():
-    sb.ensure_fixture()
-    max_min = float(sys.argv[1]) if len(sys.argv) > 1 else 480.0
-    mem = sys.argv[2] if len(sys.argv) > 2 else "12g"
-    modes = sys.argv[3:] or ["gate_4n", "gate_n"]
-    deadline = time.time() + 60 * max_min
-    best_alu = ALU_FLOOR
+LEG_MAX_STEAL = 0.02    # a leg that ran under more steal than this is void
+POST_ALU_TOL = 0.85     # post-leg ALU must stay within this of window-open
 
-    # -- hunt a window ---------------------------------------------------
-    while True:
-        if time.time() > deadline:
-            print("hunter deadline hit with no window; exiting", flush=True)
-            return
-        st = gh.steal_frac(15)
-        alu = gh.alu_4p()
-        best_alu = max(best_alu, alu)
-        held = os.path.exists(HOLD)
-        quiet = st < MAX_STEAL and alu >= ALU_TOL * best_alu and not held
-        print(
-            f"probe steal={st:.2%} alu={alu:.1f}/{best_alu:.1f}"
-            f"{' HELD' if held else ''} -> {'RUN' if quiet else 'wait'}",
-            flush=True,
-        )
-        if quiet:
-            break
-        time.sleep(75)
 
+def run_pair(modes, mem, deadline, st, alu, best_alu) -> bool:
+    """One paired attempt inside an open window. Every leg is validated
+    AFTER it runs (leg steal + post-leg ALU re-probe): host IPC
+    degradation inflates guest CPU time without showing up as steal
+    (proven by BENCH/phases/pack_scale_2core.json — the same 4-executor
+    pack ran 154s in a window whose ALU collapsed 34->21 Mops
+    mid-session and 57s in a verified-quiet one), so a pair is scored
+    only if the window held for BOTH legs. Invalid legs are still
+    appended, tagged valid=false + reason — raws are never discarded.
+    Returns True if every leg validated (the pair is scorable)."""
     pair_id = time.strftime("p%m%d_%H%M")
-    open(BUSY, "w").close()
+    cal16 = alu_16p()
+    eff_4_16 = cal16 / (4 * alu)
+    print(
+        f"window-open ALU: 4p={alu:.1f} 16p={cal16:.1f} "
+        f"eff_4_to_16={eff_4_16:.3f}",
+        flush=True,
+    )
+    sampler = StatSampler()
+    sampler.start()
+    results = {}
+    all_valid = True
     try:
-        cal16 = alu_16p()
-        eff_4_16 = cal16 / (4 * alu)
-        print(
-            f"window-open ALU: 4p={alu:.1f} 16p={cal16:.1f} "
-            f"eff_4_to_16={eff_4_16:.3f}",
-            flush=True,
-        )
-        sampler = StatSampler()
-        sampler.start()
-        results = {}
         for mode in modes:
             sampler.phase = f"prewarm_{mode}"
             prewarm_fixture()
@@ -194,47 +185,108 @@ def main():
                 f"prewarmed cache, window steal {st:.2%}, alu4p {alu:.0f}, "
                 f"alu16p {cal16:.0f} (eff {eff_4_16:.2f})"
             )
-            r = append_round(mode, mem, pair_id, note)
+            r = run_round(mode, mem, pair_id, note)
+            sampler.phase = "probe"
+            st2 = gh.steal_frac(10)
+            alu2 = gh.alu_4p()
+            reasons = []
+            if r["host_steal_frac"] > LEG_MAX_STEAL:
+                reasons.append(f"leg steal {r['host_steal_frac']:.2%}")
+            if alu2 < POST_ALU_TOL * alu:
+                reasons.append(f"post-leg ALU {alu2:.1f} < {POST_ALU_TOL} x {alu:.1f}")
+            r["valid"] = not reasons
+            r["post_leg_alu4p"] = round(alu2, 1)
+            r["post_leg_steal"] = round(st2, 4)
+            if reasons:
+                r["invalid_reason"] = "; ".join(reasons)
+                all_valid = False
+            append_round(mode, r)
             results[mode] = r
             print(
                 f"APPENDED {mode}@{mem}: wall={r['wall_s']}s "
                 f"steal={r['host_steal_frac']:.2%} sys={r['host_sys_frac']:.2%} "
+                f"{'VALID' if r['valid'] else 'INVALID (' + r['invalid_reason'] + ')'} "
                 f"stages={r['stages']}",
                 flush=True,
             )
-            sampler.phase = "probe"
-            st2 = gh.steal_frac(10)
-            alu2 = gh.alu_4p()
-            print(f"re-probe: steal={st2:.2%} alu4p={alu2:.1f} Mops", flush=True)
-
-        sampler.stop_flag = True
-        diag = os.path.join(PH, f"diag_{pair_id}.json")
-        with open(diag, "w") as f:
-            json.dump(
-                {
-                    "pair_id": pair_id,
-                    "mem": mem,
-                    "alu4p": alu,
-                    "alu16p": cal16,
-                    "eff_4_to_16": round(eff_4_16, 3),
-                    "samples": sampler.samples,
-                },
-                f,
-            )
-        print(f"sampler -> {diag}", flush=True)
-
-        for fam in {m.rsplit("_", 1)[0] for m in results}:
-            n_r, x_r = results.get(f"{fam}_n"), results.get(f"{fam}_4n")
-            if n_r and x_r:
-                eff = n_r["wall_s"] / (4 * x_r["wall_s"])
-                print(
-                    f"PAIRED EFFICIENCY {fam} ({pair_id}@{mem}): "
-                    f"N={n_r['wall_s']}s 4N={x_r['wall_s']}s -> {eff:.3f}",
-                    flush=True,
-                )
+            if not r["valid"]:
+                print("window lost — aborting pair, back to hunting", flush=True)
+                break
+            if time.time() > deadline:
+                break
     finally:
-        if os.path.exists(BUSY):
-            os.remove(BUSY)
+        sampler.stop_flag = True
+    diag = os.path.join(PH, f"diag_{pair_id}.json")
+    with open(diag, "w") as f:
+        json.dump(
+            {
+                "pair_id": pair_id,
+                "mem": mem,
+                "alu4p": alu,
+                "alu16p": cal16,
+                "eff_4_to_16": round(eff_4_16, 3),
+                "samples": sampler.samples,
+            },
+            f,
+        )
+    print(f"sampler -> {diag}", flush=True)
+
+    complete = True
+    for fam in {m.rsplit("_", 1)[0] for m in modes}:
+        n_r, x_r = results.get(f"{fam}_n"), results.get(f"{fam}_4n")
+        if n_r and x_r:
+            eff = n_r["wall_s"] / (4 * x_r["wall_s"])
+            tag = "VALID" if (n_r["valid"] and x_r["valid"]) else "INVALID"
+            print(
+                f"PAIRED EFFICIENCY {fam} ({pair_id}@{mem}, {tag}): "
+                f"N={n_r['wall_s']}s 4N={x_r['wall_s']}s -> {eff:.3f}",
+                flush=True,
+            )
+        elif f"{fam}_n" in modes and f"{fam}_4n" in modes:
+            complete = False
+    return all_valid and complete
+
+
+def main():
+    sb.ensure_fixture()
+    max_min = float(sys.argv[1]) if len(sys.argv) > 1 else 480.0
+    mem = sys.argv[2] if len(sys.argv) > 2 else "12g"
+    modes = sys.argv[3:] or ["gate_4n", "gate_n"]
+    deadline = time.time() + 60 * max_min
+    best_alu = ALU_FLOOR
+
+    while True:
+        # -- hunt a window -----------------------------------------------
+        while True:
+            if time.time() > deadline:
+                print("deadline hit without a validated pair; exiting", flush=True)
+                return
+            st = gh.steal_frac(15)
+            alu = gh.alu_4p()
+            best_alu = max(best_alu, alu)
+            held = os.path.exists(HOLD)
+            quiet = st < MAX_STEAL and alu >= ALU_TOL * best_alu and not held
+            print(
+                f"probe steal={st:.2%} alu={alu:.1f}/{best_alu:.1f}"
+                f"{' HELD' if held else ''} -> {'RUN' if quiet else 'wait'}",
+                flush=True,
+            )
+            if quiet:
+                break
+            time.sleep(75)
+
+        open(BUSY, "w").close()
+        try:
+            if run_pair(modes, mem, deadline, st, alu, best_alu):
+                print("validated pair complete", flush=True)
+                return
+        finally:
+            if os.path.exists(BUSY):
+                os.remove(BUSY)
+        if time.time() > deadline:
+            print("deadline hit; exiting", flush=True)
+            return
+        time.sleep(60)
 
 
 if __name__ == "__main__":
