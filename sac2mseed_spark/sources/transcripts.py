@@ -68,6 +68,12 @@ FIXTURES: dict[str, TranscriptSpec] = {
     # scheduling + tiny-tier stages at 4N) stay <10%% of the 4N wall and the
     # scaling gate measures throughput, not latency
     "t_scale8": TranscriptSpec(200_000, 300, 800, n_hot=160, hot_turns=50_000),
+    # 2x t_scale8 (~236M turns, ~12 GB parquet): the r5 validated-window
+    # gate2 pair scored 0.787 at t_scale8 with the 4N legs carrying
+    # ~9-14s/executor of per-stage fixed cost (job scheduling, tiny-tier
+    # stages) — doubling data halves that share, the same move that
+    # retired the proven ~0.69 structural ceiling of t_scale4 in r4
+    "t_scale16": TranscriptSpec(400_000, 300, 800, n_hot=320, hot_turns=50_000),
 }
 
 # Max turns materialized from a single generator input row.  Hot

@@ -150,6 +150,108 @@ def alu_16p() -> float:
         return sum(pool.map(sb._alu_probe, range(16))) / 1e6
 
 
+def alu_32p() -> float:
+    """Full-width ALU calibration — the same-window compute ceiling a
+    32-busy-core leg (fb_4n) runs under. Across sessions this swings
+    0.74-0.98 of linear with host conditions, so a full-box pair is only
+    interpretable against ITS OWN window's ceiling."""
+    import multiprocessing as mp
+
+    with mp.Pool(32) as pool:
+        pool.map(sb._alu_probe, range(32))
+        return sum(pool.map(sb._alu_probe, range(32))) / 1e6
+
+
+SIDECAR_CORE = 31
+SIDECAR_SRC = r"""
+import time
+x = 1
+while True:
+    t0 = time.perf_counter(); n = 0
+    while time.perf_counter() - t0 < 0.5:
+        for _ in range(100000):
+            x = (x * 1664525 + 1013904223) & 0xFFFFFFFF
+        n += 100000
+    print(f"{time.time():.1f} {n / (time.perf_counter() - t0) / 1e6:.2f}",
+          flush=True)
+"""
+
+
+class AluSidecar:
+    """One ALU loop pinned to a core no executor uses, sampling ~2 Hz for
+    the whole pair. The fb_n incident (BENCH/phases/fb_anomaly.json): a
+    leg ran 4x slow with cores user-busy, steal 0, and PASSING edge
+    probes — the host degraded compute for ~10 minutes strictly inside
+    the leg. Edge probes cannot see that; a continuous in-leg ALU sample
+    can. Validity: the worst 30s mean during a leg must stay within
+    SIDECAR_TOL of the session's best 30s mean. Not applicable when the
+    leg busies every core (fb_4n) — the sidecar would just measure
+    sharing; those legs rely on edge probes + their own 32p ceiling."""
+
+    def __init__(self, path: str):
+        import subprocess
+
+        self.path = path
+        self.f = open(path, "w")
+        self.proc = subprocess.Popen(
+            ["taskset", "-c", str(SIDECAR_CORE), sys.executable, "-c",
+             SIDECAR_SRC],
+            stdout=self.f,
+            stderr=subprocess.DEVNULL,
+        )
+
+    def stop(self):
+        self.proc.terminate()
+        self.proc.wait(timeout=10)
+        self.f.close()
+
+    def pause(self):
+        """SIGSTOP for legs that busy every core (fb_4n) — the sidecar
+        would otherwise share core 31 with an executor, contaminating
+        both the leg and its own samples."""
+        import signal
+
+        self.proc.send_signal(signal.SIGSTOP)
+
+    def resume(self):
+        import signal
+
+        self.proc.send_signal(signal.SIGCONT)
+
+    def samples(self):
+        out = []
+        with open(self.path) as f:
+            for line in f:
+                try:
+                    t, v = line.split()
+                    out.append((float(t), float(v)))
+                except ValueError:
+                    continue
+        return out
+
+    @staticmethod
+    def _window_means(samples, win=30.0):
+        means = []
+        for i, (t0, _) in enumerate(samples):
+            block = [v for t, v in samples if t0 <= t < t0 + win]
+            if len(block) >= win / 0.6:  # reasonably full window
+                means.append((t0, sum(block) / len(block)))
+        return means
+
+    def leg_health(self, t_start: float, t_end: float):
+        """(worst 30s mean inside the leg, best 30s mean of the session).
+        Returns (None, None) if too few samples."""
+        s = self.samples()
+        all_means = self._window_means(s)
+        leg_means = [m for t0, m in all_means if t_start <= t0 <= t_end - 30]
+        if not all_means or not leg_means:
+            return None, None
+        return min(leg_means), max(m for _, m in all_means)
+
+
+SIDECAR_TOL = 0.85
+
+
 LEG_MAX_STEAL = 0.02    # a leg that ran under more steal than this is void
 POST_ALU_TOL = 0.85     # post-leg ALU must stay within this of window-open
 
@@ -167,13 +269,19 @@ def run_pair(modes, mem, deadline, st, alu, best_alu) -> bool:
     pair_id = time.strftime("p%m%d_%H%M")
     cal16 = alu_16p()
     eff_4_16 = cal16 / (4 * alu)
+    cal32 = None
+    if any(m.startswith("fb") for m in modes):
+        cal32 = alu_32p()
     print(
         f"window-open ALU: 4p={alu:.1f} 16p={cal16:.1f} "
-        f"eff_4_to_16={eff_4_16:.3f}",
+        f"eff_4_to_16={eff_4_16:.3f}"
+        + (f" 32p={cal32:.1f} eff_4_to_32={cal32 / (8 * alu):.3f}"
+           if cal32 else ""),
         flush=True,
     )
     sampler = StatSampler()
     sampler.start()
+    sidecar = AluSidecar(f"/tmp/alu_sidecar_{pair_id}.log")
     results = {}
     all_valid = True
     try:
@@ -185,7 +293,19 @@ def run_pair(modes, mem, deadline, st, alu, best_alu) -> bool:
                 f"prewarmed cache, window steal {st:.2%}, alu4p {alu:.0f}, "
                 f"alu16p {cal16:.0f} (eff {eff_4_16:.2f})"
             )
-            r = run_round(mode, mem, pair_id, note)
+            if cal32:
+                note += f", alu32p {cal32:.0f} (eff {cal32 / (8 * alu):.2f})"
+            _path, _key, p_exec, cores_exec, _m = gh.CONFIGS[mode]
+            full_width = p_exec * cores_exec > SIDECAR_CORE - 1
+            if full_width:
+                sidecar.pause()
+            t_leg0 = time.time()
+            try:
+                r = run_round(mode, mem, pair_id, note)
+            finally:
+                if full_width:
+                    sidecar.resume()
+            t_leg1 = time.time()
             sampler.phase = "probe"
             st2 = gh.steal_frac(10)
             alu2 = gh.alu_4p()
@@ -194,6 +314,18 @@ def run_pair(modes, mem, deadline, st, alu, best_alu) -> bool:
                 reasons.append(f"leg steal {r['host_steal_frac']:.2%}")
             if alu2 < POST_ALU_TOL * alu:
                 reasons.append(f"post-leg ALU {alu2:.1f} < {POST_ALU_TOL} x {alu:.1f}")
+            if not full_width:
+                worst, best = sidecar.leg_health(t_leg0, t_leg1)
+                if worst is not None:
+                    r["sidecar_leg_min_Mops"] = round(worst, 2)
+                    r["sidecar_session_best_Mops"] = round(best, 2)
+                    if worst < SIDECAR_TOL * best:
+                        reasons.append(
+                            f"in-leg ALU sidecar dipped to {worst:.2f} Mops"
+                            f" ({worst / best:.2f} of session best {best:.2f})"
+                        )
+            else:
+                r["sidecar_leg_min_Mops"] = None  # leg busies every core
             r["valid"] = not reasons
             r["post_leg_alu4p"] = round(alu2, 1)
             r["post_leg_steal"] = round(st2, 4)
@@ -216,6 +348,7 @@ def run_pair(modes, mem, deadline, st, alu, best_alu) -> bool:
                 break
     finally:
         sampler.stop_flag = True
+        sidecar.stop()
     diag = os.path.join(PH, f"diag_{pair_id}.json")
     with open(diag, "w") as f:
         json.dump(
@@ -225,6 +358,8 @@ def run_pair(modes, mem, deadline, st, alu, best_alu) -> bool:
                 "alu4p": alu,
                 "alu16p": cal16,
                 "eff_4_to_16": round(eff_4_16, 3),
+                "alu32p": cal32,
+                "sidecar_samples": sidecar.samples(),
                 "samples": sampler.samples,
             },
             f,

@@ -241,7 +241,20 @@ def exec_worker(p: int, n_exec: int, cores: int) -> None:
         _store_counts(p, n_exec, n_turns, rolled)
     else:
         n_turns, rolled = cached
-    _pipeline_once(spark, conv_slice=(p, n_exec), with_counts=False)
+    # Fast warm (default): the warm pass exists to compile codegen/JIT and
+    # spin python workers — nothing about it is data-volume-dependent (the
+    # persisted cache is unpersisted between passes, and page cache comes
+    # from the caller's prewarm). Warming on slice p of 16 (a 1/16
+    # sub-slice INSIDE this executor's timed slice, identical plan shape,
+    # different pruning literal) cuts each leg's held-window time ~2x,
+    # which directly raises the odds a quiet window survives a whole
+    # validated pair. SCALING_FULL_WARM=1 restores the full-slice warm.
+    warm_slice = (
+        (p, n_exec)
+        if os.environ.get("SCALING_FULL_WARM") == "1"
+        else (p, 16)
+    )
+    _pipeline_once(spark, conv_slice=warm_slice, with_counts=False)
     if barrier_dir:
         open(os.path.join(barrier_dir, f"warm_{p}"), "w").close()
         while not os.path.exists(os.path.join(barrier_dir, "GO")):
