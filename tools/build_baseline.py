@@ -147,10 +147,12 @@ def main() -> None:
     packk = _load("pack_scale_kernel.json")
 
     fixture_meta = {}
-    for d in (_load("gate_1_to_4.json"), _load("gate2_1_to_4.json")):
+    for d in (_load("gate2_1_to_4.json"), _load("gate_1_to_4.json"),
+              _load("fullbox_2_to_8.json")):
         if d:
             for r in d.get("rounds_n", []):
                 fixture_meta = {
+                    "name": r.get("fixture", "t_scale8"),
                     "n_turns": r["n_turns"],
                     "rolled_points": r["rolled_points"],
                 }

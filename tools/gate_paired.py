@@ -31,8 +31,10 @@ Usage:
   python tools/gate_paired.py [max_minutes] [mem] [mode ...]
     mem   per-executor heap for every round in the session (default 12g —
           constant node spec shared with the fullbox 2->8 variant)
-    modes default: gate_4n gate_n   (4N first: it is the scarce number;
-          if the window closes mid-session the expensive one is banked)
+    modes default: gate_n gate_4n   (N first: at t_scale16 the N leg is
+          the long, never-yet-measured number; 4N is already replicated
+          at 247-274s across three windows, so if the window closes
+          mid-pair the scarce leg is the one banked)
 Appends rounds to BENCH/phases/gate_1_to_4.json / fullbox_2_to_8.json in
 the exact shape gate_hunter/extra_rounds use, plus pair_id/mem/note, and
 writes the sampler series to BENCH/phases/diag_<pair_id>.json.
@@ -179,14 +181,21 @@ while True:
 
 class AluSidecar:
     """One ALU loop pinned to a core no executor uses, sampling ~2 Hz for
-    the whole pair. The fb_n incident (BENCH/phases/fb_anomaly.json): a
-    leg ran 4x slow with cores user-busy, steal 0, and PASSING edge
-    probes — the host degraded compute for ~10 minutes strictly inside
-    the leg. Edge probes cannot see that; a continuous in-leg ALU sample
-    can. Validity: the worst 30s mean during a leg must stay within
-    SIDECAR_TOL of the session's best 30s mean. Not applicable when the
-    leg busies every core (fb_4n) — the sidecar would just measure
-    sharing; those legs rely on edge probes + their own 32p ceiling."""
+    the whole pair. DIAGNOSTIC ONLY as of round 5: it was briefly a
+    validity criterion (catch the fb_anomaly.json incident — a leg that
+    ran 4x slow with passing edge probes), but every gate2_4n leg at
+    t_scale16 "failed" it (sidecar 0.10-0.18x of session best) while the
+    leg walls themselves replicated to 0.5% across independent verified
+    windows (247.0s vs 248.3s) — impossible under a real 7-10x host
+    degradation. tools/sidecar_mechanism.py then showed the dip is NOT
+    reproduced by 8 pure-ALU (1.10x of idle) or 8 STREAM-triad (1.11x)
+    pinned workers, and only mildly by 16 triad (0.80x): it is an
+    endogenous artifact of the Spark leg itself (JVM mmap/page-cache/TLB
+    traffic interrupting an otherwise-idle core), so gating on it can
+    never pass a 4N leg. Validity now rests on edge probes (window-open
+    + settled post-leg ALU), leg steal, and cross-window wall
+    replication; the sidecar min is still recorded on every round for
+    post-hoc audit."""
 
     def __init__(self, path: str):
         import subprocess
@@ -249,11 +258,13 @@ class AluSidecar:
         return min(leg_means), max(m for _, m in all_means)
 
 
-SIDECAR_TOL = 0.85
-
-
 LEG_MAX_STEAL = 0.02    # a leg that ran under more steal than this is void
 POST_ALU_TOL = 0.85     # post-leg ALU must stay within this of window-open
+POST_PROBE_SETTLE_S = 20  # let JVM teardown (munmap of 4 x 12g pre-touched
+                          # heaps) drain before probing — an immediate probe
+                          # reads the reclaim, not the window (p0818_0711:
+                          # post-ALU 30.3 right after the best-ever 247.0s
+                          # leg, vs 38-39 after its 0.5%-identical siblings)
 
 
 def run_pair(modes, mem, deadline, st, alu, best_alu) -> bool:
@@ -306,6 +317,8 @@ def run_pair(modes, mem, deadline, st, alu, best_alu) -> bool:
                 if full_width:
                     sidecar.resume()
             t_leg1 = time.time()
+            sampler.phase = "settle"
+            time.sleep(POST_PROBE_SETTLE_S)
             sampler.phase = "probe"
             st2 = gh.steal_frac(10)
             alu2 = gh.alu_4p()
@@ -317,13 +330,11 @@ def run_pair(modes, mem, deadline, st, alu, best_alu) -> bool:
             if not full_width:
                 worst, best = sidecar.leg_health(t_leg0, t_leg1)
                 if worst is not None:
+                    # diagnostic only (see AluSidecar docstring): the leg's
+                    # own JVM activity starves the sidecar core, so the
+                    # level cannot distinguish weather from work.
                     r["sidecar_leg_min_Mops"] = round(worst, 2)
                     r["sidecar_session_best_Mops"] = round(best, 2)
-                    if worst < SIDECAR_TOL * best:
-                        reasons.append(
-                            f"in-leg ALU sidecar dipped to {worst:.2f} Mops"
-                            f" ({worst / best:.2f} of session best {best:.2f})"
-                        )
             else:
                 r["sidecar_leg_min_Mops"] = None  # leg busies every core
             r["valid"] = not reasons
@@ -346,6 +357,18 @@ def run_pair(modes, mem, deadline, st, alu, best_alu) -> bool:
                 break
             if time.time() > deadline:
                 break
+            if mode != modes[-1]:
+                # mid-pair re-probe: the first leg can run 15+ min; require
+                # the window to still hold before spending the next leg.
+                if st2 > MAX_STEAL or alu2 < ALU_TOL * alu:
+                    print(
+                        f"window closed mid-pair (steal {st2:.2%}, "
+                        f"ALU {alu2:.1f} vs open {alu:.1f}) — banking "
+                        f"completed legs, back to hunting",
+                        flush=True,
+                    )
+                    all_valid = False
+                    break
     finally:
         sampler.stop_flag = True
         sidecar.stop()
@@ -386,7 +409,7 @@ def main():
     sb.ensure_fixture()
     max_min = float(sys.argv[1]) if len(sys.argv) > 1 else 480.0
     mem = sys.argv[2] if len(sys.argv) > 2 else "12g"
-    modes = sys.argv[3:] or ["gate_4n", "gate_n"]
+    modes = sys.argv[3:] or ["gate_n", "gate_4n"]
     deadline = time.time() + 60 * max_min
     best_alu = ALU_FLOOR
 

@@ -354,7 +354,7 @@ def run_executors(
     stat0 = _stat_snapshot()
     results = []
     for pr in procs:
-        out, _ = pr.communicate(timeout=1800)
+        out, _ = pr.communicate(timeout=3600)
         for line in out.splitlines():
             if line.startswith("EXEC_RESULT "):
                 results.append(json.loads(line[len("EXEC_RESULT "):]))
@@ -372,6 +372,7 @@ def run_executors(
     turns = sum(r["n_turns"] for r in results)
     rolled = sum(r["rolled_points"] for r in results)
     return {
+        "fixture": FIXTURE,
         "executors": n_exec,
         "cores_per_executor": cores_per_exec,
         "total_cores": n_exec * cores_per_exec,
