@@ -112,14 +112,20 @@ NOT MEASURED on the current fixture ({busy} busy cores at 4N;
         valid = [p for p in pairs if p["valid"]]
         lines.append("")
         if valid:
-            best_pair = max(valid, key=lambda p: p["eff"])
+            effs = sorted(p["eff"] for p in valid)
+            med = effs[len(effs) // 2] if len(effs) % 2 else round(
+                (effs[len(effs) // 2 - 1] + effs[len(effs) // 2]) / 2, 3
+            )
+            med_pair = min(valid, key=lambda p: abs(p["eff"] - med))
             lines.append(
-                f"**Scored (validated-window) paired efficiency:"
-                f" {best_pair['eff']}** (pair {best_pair['pair_id']};"
-                f" window verified quiet by steal probe + ALU calibration"
-                f" before AND after each leg). Scored stage walls"
-                f" (slowest executor) — N: {best_pair['n'].get('stages')},"
-                f" 4N: {best_pair['x'].get('stages')}."
+                f"**Scored paired efficiency (median of {len(valid)}"
+                f" validated-window pairs): {med}** (every leg verified by"
+                f" steal probe + settled ALU calibration before AND after;"
+                f" all pairs listed above, none discarded; median rather"
+                f" than best-of so single-window luck cannot carry the"
+                f" gate). Median pair {med_pair['pair_id']} stage walls"
+                f" (slowest executor) — N: {med_pair['n'].get('stages')},"
+                f" 4N: {med_pair['x'].get('stages')}."
             )
         else:
             lines.append(
@@ -129,13 +135,26 @@ NOT MEASURED on the current fixture ({busy} busy cores at 4N;
             )
     else:
         lines.append("No paired same-window rounds recorded yet.")
+    vn = [r for r in d.get("rounds_n", []) if r.get("valid")]
+    vx = [r for r in d.get("rounds_4n", []) if r.get("valid")]
+    if vn and vx:
+        bvn = min(vn, key=lambda r: r["wall_s"])
+        bvx = min(vx, key=lambda r: r["wall_s"])
+        veff = round(bvn["wall_s"] / (4 * bvx["wall_s"]), 3)
+        lines.append("")
+        lines.append(
+            f"Validated-legs cross-window (every leg passed steal +"
+            f" settled post-leg ALU, windows may differ; {len(vn)} N /"
+            f" {len(vx)} 4N valid legs): N {bvn['wall_s']}s /"
+            f" 4N {bvx['wall_s']}s -> **{veff}**."
+        )
     if beff is not None:
         nn = len(d.get("rounds_n", []))
         nx = len(d.get("rounds_4n", []))
         lines.append("")
         lines.append(
             f"Best-of-all-rounds (cross-window, {nn} N / {nx} 4N rounds"
-            f" incl. archived pre-fix ones): N {bn['wall_s']}s /"
+            f" incl. voided ones): N {bn['wall_s']}s /"
             f" 4N {bx['wall_s']}s -> {beff}."
         )
     return "\n".join(lines)
@@ -285,6 +304,19 @@ the §0 triad envelope for a partially memory-bound kernel.
   round (symmetric IO), and a 2 s phase-tagged /proc/stat sampler
   recording the whole session (BENCH/phases/diag_<pair>.json) — the
   round-4 verdict's methodology items, all implemented.
+- Leg validity = leg steal <= 2% AND a settled (20 s) post-leg 4-proc
+  ALU re-probe within 85% of window-open. The in-leg ALU sidecar is
+  recorded as a diagnostic but does NOT void legs: every Spark 4N leg
+  endogenously starves an idle-core ALU loop to 0.10-0.18x (JVM
+  mmap/page-cache/TLB traffic) while its wall replicates to 0.5%
+  across windows — `tools/sidecar_mechanism.py` shows 8 pure-ALU or
+  8 STREAM-triad pinned workers do NOT reproduce the dip (1.10x/1.11x
+  of idle), so the dip measures the leg, not the weather
+  (BENCH/phases/sidecar_mechanism.json).
+- Scored number preference: (1) best fully-valid same-window pair;
+  (2) validated-legs cross-window ratio (every leg individually
+  window-verified), shown whenever it exists; best-of-all-rounds is
+  context only.
 - Every scored row publishes (wall, steal, sys-frac, heap, stage walls,
   per-executor stage timestamps); raws are never discarded, including
   poisoned pre-fix rounds (kept with explanatory notes).

@@ -260,11 +260,21 @@ class AluSidecar:
 
 LEG_MAX_STEAL = 0.02    # a leg that ran under more steal than this is void
 POST_ALU_TOL = 0.85     # post-leg ALU must stay within this of window-open
-POST_PROBE_SETTLE_S = 20  # let JVM teardown (munmap of 4 x 12g pre-touched
-                          # heaps) drain before probing — an immediate probe
-                          # reads the reclaim, not the window (p0818_0711:
-                          # post-ALU 30.3 right after the best-ever 247.0s
-                          # leg, vs 38-39 after its 0.5%-identical siblings)
+POST_PROBE_SETTLE_S = 20  # initial settle before the post-leg probe
+POST_PROBE_RETRY_S = 75   # if the +20s probe fails, re-probe once after
+                          # this much more settle and score the better
+                          # reading. Evidence (huntlog_0808_0925): after
+                          # EVERY 4N leg — including the best-ever 241.7s
+                          # one whose stages all replicated — the +20s
+                          # probe read a consistent 32.4-33.5 Mops
+                          # (0.74-0.77x of open), then the next hunt
+                          # probe ~2 min later read 42.9-44.0 (full
+                          # recovery); after 1-JVM N legs the +20s probe
+                          # passes. The +20s reading is the teardown of
+                          # 4 x 12g pre-touched heaps (48 GiB munmap +
+                          # page-cache repopulation), not the window; a
+                          # genuinely degraded window stays low at the
+                          # retry (and is voided).
 
 
 def run_pair(modes, mem, deadline, st, alu, best_alu) -> bool:
@@ -322,6 +332,15 @@ def run_pair(modes, mem, deadline, st, alu, best_alu) -> bool:
             sampler.phase = "probe"
             st2 = gh.steal_frac(10)
             alu2 = gh.alu_4p()
+            alu2_first = alu2
+            if alu2 < POST_ALU_TOL * alu:
+                # teardown vs weather: re-probe after more settle (see
+                # POST_PROBE_RETRY_S). Both readings are published.
+                sampler.phase = "settle_retry"
+                time.sleep(POST_PROBE_RETRY_S)
+                sampler.phase = "probe_retry"
+                st2 = max(st2, gh.steal_frac(10))
+                alu2 = max(alu2, gh.alu_4p())
             reasons = []
             if r["host_steal_frac"] > LEG_MAX_STEAL:
                 reasons.append(f"leg steal {r['host_steal_frac']:.2%}")
@@ -339,6 +358,7 @@ def run_pair(modes, mem, deadline, st, alu, best_alu) -> bool:
                 r["sidecar_leg_min_Mops"] = None  # leg busies every core
             r["valid"] = not reasons
             r["post_leg_alu4p"] = round(alu2, 1)
+            r["post_leg_alu4p_at_20s"] = round(alu2_first, 1)
             r["post_leg_steal"] = round(st2, 4)
             if reasons:
                 r["invalid_reason"] = "; ".join(reasons)
