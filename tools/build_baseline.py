@@ -75,13 +75,16 @@ def _round_line(r: dict) -> str:
     )
 
 
-def family_md(title: str, fname: str, busy: str, envelope: str) -> str:
+def family_md(
+    title: str, fname: str, busy: str, envelope: str, archive: str = ""
+) -> str:
     d = _load(fname)
-    if d is None:
+    arch = f"\n\n{archive}" if archive else ""
+    if d is None or (not d.get("rounds_n") and not d.get("rounds_4n")):
         return f"""### {title}
 
 NOT MEASURED on the current fixture ({busy} busy cores at 4N;
-{envelope})."""
+{envelope}).{arch}"""
     pairs = pair_scores(d)
     bn, bx, beff = best_of(d)
     lines = [f"### {title}", ""]
@@ -267,9 +270,9 @@ warm -> barrier -> timed protocol (scaling_bench.exec_worker).
 
 {family_md("Primary gate: 1 -> 4 executors x 2 cores", "gate2_1_to_4.json", "2 -> 8", f"triad {membw.get('eff_2_to_8')}, ALU ~linear — INSIDE the envelope")}
 
-{family_md("4-core node spec: 1 -> 4 executors x 4 cores", "gate_1_to_4.json", "4 -> 16", f"triad {membw.get('eff_4_to_16')} — OUTSIDE the envelope; see §0 irreducibility experiment")}
+{family_md("4-core node spec: 1 -> 4 executors x 4 cores", "gate_1_to_4.json", "4 -> 16", f"triad {membw.get('eff_4_to_16')} — OUTSIDE the envelope; see §0 irreducibility experiment", "t_scale8 evidence archived in `gate_1_to_4_t_scale8.json` (best paired 0.437 at 12g; the §0 pack-kernel experiment shows the 4->16-busy-core DRAM cliff alone caps this family near 0.5 regardless of engine quality, which is why the inside-envelope 2-core spec above is the scored gate).")}
 
-{family_md("Full-box: 2 -> 8 executors x 4 cores", "fullbox_2_to_8.json", "8 -> 32", f"triad {membw.get('eff_8_to_32')}, ALU {cal.get('eff_8_to_32')}")}
+{family_md("Full-box: 2 -> 8 executors x 4 cores", "fullbox_2_to_8.json", "8 -> 32", f"triad {membw.get('eff_8_to_32')}, ALU {cal.get('eff_8_to_32')}", "t_scale8 evidence archived in `fullbox_2_to_8_t_scale8.json` (valid 4N 51.95s = 605.7k pts/s full-box; its paired N leg was voided by the fb_anomaly in-leg degradation, `fb_anomaly.json`).")}
 
 ### Which number is the gate?
 
