@@ -387,6 +387,59 @@ def q_dedup_minhash_lsh(spark, sf_dir):
     return D.minhash_lsh_pairs(_aug_docs(docs), threshold=0.5)
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Duplicate-cluster assignment (operators/dedup.dedup_clusters):
+    connected components over the verified MinHash-LSH pair graph by
+    iterative min-label propagation; the DuckDB twin computes the same
+    components with a recursive CTE. Non-trivial on the aug corpus: every
+    near-dup family (original, truncated variant, exact copies) collapses
+    to one cluster_id."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.dedup_clusters(_aug_docs(docs), threshold=0.5)
+
+
+def _pii_docs(docs: DataFrame) -> DataFrame:
+    """documents with deterministic PII injected (emails for doc_id % 3,
+    phones % 5, IPv4s % 7) so the scrub operator has true positives at
+    every sf. The suffix expression is mirrored literally in
+    _pii_scrub_sql."""
+    d = F.col("doc_id")
+    suffix = F.concat(
+        F.when(
+            d % 3 == 0,
+            F.concat(F.lit(" contact user"), d.cast("string"), F.lit("@example.com")),
+        ).otherwise(F.lit("")),
+        F.when(
+            d % 5 == 0,
+            F.concat(
+                F.lit(" call 555-0"),
+                F.lpad((d % 1000).cast("string"), 3, "0"),
+                F.lit(" now"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            d % 7 == 0,
+            F.concat(F.lit(" host 10.0."), (d % 256).cast("string"), F.lit(".7")),
+        ).otherwise(F.lit("")),
+    )
+    return docs.select("doc_id", F.concat(F.col("text"), suffix).alias("text"))
+
+
+def q_pii_scrub(spark, sf_dir):
+    """PII detection + redaction stats (functions/text.pii_profile): pure
+    regexp codegen — the 100 TB scrub is scan-shaped, no shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    return T.pii_profile(_pii_docs(docs))
+
+
+def q_topk_ngrams(spark, sf_dir):
+    """Corpus top-20 word bigrams (functions/text.top_ngrams): explode ->
+    count aggregate -> distributed TakeOrdered; ties broken on the ngram
+    string so ranks are deterministic."""
+    docs = load_table(spark, sf_dir, "documents")
+    return T.top_ngrams(docs, k_top=20, n=2)
+
+
 def q_dedup_simhash(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     return D.simhash(_aug_docs(docs))
@@ -553,6 +606,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
+        "dedup_clusters": q_dedup_clusters,
+        "pii_scrub": q_pii_scrub,
+        "topk_ngrams": q_topk_ngrams,
         "simhash_pairs": q_simhash_pairs,
         "knn_bruteforce": q_knn_bruteforce,
         "knn_lsh": q_knn_lsh,
@@ -819,6 +875,89 @@ inter AS (
 SELECT i.a, i.b, round(i.inter / (sa.sz + sb.sz - i.inter), 6) AS jaccard
 FROM inter i JOIN sizes sa ON i.a = sa.doc JOIN sizes sb ON i.b = sb.doc
 WHERE round(i.inter / (sa.sz + sb.sz - i.inter), 6) >= {threshold}
+"""
+
+
+def _dedup_clusters_sql(threshold: float) -> str:
+    """Connected components over the minhash pair graph: the full minhash
+    statement nests as the `pairs` CTE; a recursive CTE enumerates every
+    (node, reachable-label) pair — finite because UNION dedups — and
+    min() per node is the component id, exactly what min-label
+    propagation converges to."""
+    return f"""
+WITH RECURSIVE pairs AS (
+{_minhash_sql(threshold)}
+),
+edges AS (SELECT a, b FROM pairs UNION SELECT b AS a, a AS b FROM pairs),
+vertices AS (SELECT DISTINCT a AS node FROM edges),
+cc AS (
+  SELECT node, node AS lbl FROM vertices
+  UNION
+  SELECT e.b AS node, c.lbl FROM cc c JOIN edges e ON e.a = c.node
+),
+lab AS (SELECT node, min(lbl) AS cluster_id FROM cc GROUP BY node)
+SELECT node AS doc_id, cluster_id,
+       CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
+FROM lab
+"""
+
+
+def _pii_scrub_sql() -> str:
+    email, phone, ip = T.PII_EMAIL_RE, T.PII_PHONE_RE, T.PII_IPV4_RE
+    return f"""
+WITH pii AS (
+  SELECT doc_id, concat(text,
+    CASE WHEN doc_id % 3 = 0
+         THEN concat(' contact user', CAST(doc_id AS VARCHAR), '@example.com')
+         ELSE '' END,
+    CASE WHEN doc_id % 5 = 0
+         THEN concat(' call 555-0', lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0'), ' now')
+         ELSE '' END,
+    CASE WHEN doc_id % 7 = 0
+         THEN concat(' host 10.0.', CAST(doc_id % 256 AS VARCHAR), '.7')
+         ELSE '' END) AS text
+  FROM documents
+),
+red AS (
+  SELECT doc_id, text,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(text, '{email}', '<EMAIL>', 'g'),
+             '{phone}', '<PHONE>', 'g'),
+           '{ip}', '<IP>', 'g') AS redacted
+  FROM pii
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{email}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(text, '{phone}')) AS BIGINT) AS n_phones,
+       CAST(len(regexp_extract_all(text, '{ip}')) AS BIGINT) AS n_ips,
+       CAST(length(redacted) AS BIGINT) AS redacted_len,
+       {h60_sql('redacted')} AS redacted_h60
+FROM red
+"""
+
+
+def _topk_ngrams_sql(k_top: int = 20) -> str:
+    # bigram shingles with the same <2-token whole-text fallback as
+    # functions/text.shingles(k=2)
+    return f"""
+WITH tok AS (
+  SELECT doc_id, {_TOKENS_SQL.format(t='text')} AS toks, trim(text) AS t
+  FROM documents
+),
+grams AS (
+  SELECT unnest(
+    CASE WHEN len(toks) >= 2
+         THEN [array_to_string(toks[i:i+1], ' ') FOR i IN range(1, len(toks))]
+         ELSE [regexp_replace(t, '\\s+', ' ', 'g')] END) AS ngram
+  FROM tok
+),
+counts AS (SELECT ngram, count(*) AS n_occurrences FROM grams GROUP BY 1)
+SELECT ngram, n_occurrences,
+       CAST(row_number() OVER w AS INTEGER) AS rank
+FROM counts
+WINDOW w AS (ORDER BY n_occurrences DESC, ngram)
+QUALIFY row_number() OVER w <= {k_top}
 """
 
 
@@ -1370,6 +1509,9 @@ SELECT * FROM bad UNION ALL SELECT * FROM good""",
         "dedup_ngram_jaccard": _jaccard_sql(0.5),
         "dedup_minhash_lsh": _minhash_sql(0.5),
         "dedup_simhash": _simhash_sql(),
+        "dedup_clusters": _dedup_clusters_sql(0.5),
+        "pii_scrub": _pii_scrub_sql(),
+        "topk_ngrams": _topk_ngrams_sql(20),
         "simhash_pairs": _simhash_pairs_sql(3),
         "knn_bruteforce": _knn_sql(5),
         "knn_lsh": _knn_lsh_sql(5),

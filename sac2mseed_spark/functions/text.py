@@ -95,6 +95,71 @@ def shingles(text: Column | str, k: int = 3) -> Column:
     )
 
 
+# PII patterns, chosen to mean the same thing under Java regex (Spark)
+# and RE2 (DuckDB): character classes, bounded repetition, and ASCII \b
+# only — no lookaround, no backreferences.
+PII_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+PII_PHONE_RE = "\\b555-[0-9]{4,6}\\b"
+PII_IPV4_RE = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+
+
+def pii_redact(text: Column | str) -> Column:
+    """Redacted text: emails, then phones, then IPv4s replaced by typed
+    placeholder tokens. Replacement ORDER is part of the contract (an
+    email's host part could otherwise be eaten by the IP pattern) and is
+    mirrored literally in the oracle SQL."""
+    c = F.col(text) if isinstance(text, str) else text
+    red = F.regexp_replace(c, PII_EMAIL_RE, "<EMAIL>")
+    red = F.regexp_replace(red, PII_PHONE_RE, "<PHONE>")
+    return F.regexp_replace(red, PII_IPV4_RE, "<IP>")
+
+
+def pii_profile(docs, id_col: str = "doc_id", text_col: str = "text"):
+    """Per-document PII detection + redaction stats: match counts per
+    class, redacted length, and a 60-bit digest of the redacted text (the
+    digest lets a pipeline verify two scrub runs agree without shuffling
+    the text itself — same philosophy as dedup_exact's digest groupBy).
+
+    All codegen expressions (regexp_count / regexp_replace), zero Python:
+    a 100 TB scrub pass is scan-shaped with no shuffle at all.
+    """
+    c = F.col(text_col)
+    red = pii_redact(c)
+    return docs.select(
+        F.col(id_col),
+        F.regexp_count(c, F.lit(PII_EMAIL_RE)).cast("long").alias("n_emails"),
+        F.regexp_count(c, F.lit(PII_PHONE_RE)).cast("long").alias("n_phones"),
+        F.regexp_count(c, F.lit(PII_IPV4_RE)).cast("long").alias("n_ips"),
+        F.length(red).cast("long").alias("redacted_len"),
+        h60(red).alias("redacted_h60"),
+    )
+
+
+def top_ngrams(docs, k_top: int = 20, n: int = 2, text_col: str = "text"):
+    """Corpus-level top-k word n-grams by occurrence count, rank-stamped.
+
+    Ties break on the n-gram string ascending, so the result is fully
+    deterministic. Scale shape: explode + partial/final count aggregate
+    (shuffle keyed on the n-gram), then a distributed orderBy().limit(k)
+    — Spark plans that as per-partition top-k + a k-row final merge
+    (TakeOrderedAndProject), so no single node ever sees the full vocab.
+    The k-row row_number window runs on k rows only.
+    """
+    from pyspark.sql import Window
+
+    counts = (
+        docs.select(F.explode(shingles(text_col, n)).alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+    )
+    order = [F.desc("n_occurrences"), F.asc("ngram")]
+    top = counts.orderBy(*order).limit(k_top)
+    w = Window.orderBy(*order)
+    return top.select(
+        "ngram", "n_occurrences", F.row_number().over(w).cast("int").alias("rank")
+    )
+
+
 def text_profile(docs, id_col: str = "doc_id", text_col: str = "text"):
     """DataFrame-level text-quality profile: one explode + one codegen'd
     aggregation instead of per-row interpreted higher-order functions.

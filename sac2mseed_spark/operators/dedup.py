@@ -247,6 +247,76 @@ def minhash_lsh_pairs(
     )
 
 
+def dedup_clusters(
+    docs: DataFrame,
+    threshold: float = 0.8,
+    max_iters: int = 25,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Duplicate clusters: connected components over the verified
+    MinHash-LSH near-dup pair graph, by iterative min-label propagation.
+
+    Returns one row per document that belongs to a duplicate component
+    (size >= 2): ``(doc_id, cluster_id, cluster_size)`` where cluster_id
+    is the smallest doc_id in the component — the canonical "keeper" a
+    training pipeline retains while dropping the rest.
+
+    Scale shape: each round is one equi-join of the (symmetrized) edge
+    list against the current labels plus a min-aggregate — a bounded
+    number of narrow shuffles, never an all-pairs product. Rounds needed
+    = component diameter; LSH dup families are near-cliques (every member
+    pairs with the original through the exact-Jaccard verifier), so 2-3
+    rounds close real corpora. localCheckpoint() after every round keeps
+    the plan from growing linearly with iterations, and the convergence
+    probe is a 1-row count. The loop-until-no-merge structure mirrors the
+    reference's group heal (/root/reference/libmseed/traceutils.c:776-915
+    rescans until no adjacent pair remains).
+    """
+    pairs = minhash_lsh_pairs(
+        docs, threshold, id_col=id_col, text_col=text_col
+    ).select("a", "b")
+    # symmetric edge list, materialized once — every round re-reads it
+    edges = pairs.unionByName(
+        pairs.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).localCheckpoint()
+    labels = (
+        edges.select(F.col("a").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("lbl"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iters):
+        nbr_min = (
+            edges.join(labels.toDF("a", "albl"), "a")
+            .groupBy(F.col("b").alias("node"))
+            .agg(F.min("albl").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(nbr_min, "node", "left")
+            .select(
+                "node",
+                F.least("lbl", F.coalesce("nbr_min", "lbl")).alias("lbl"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.toDF("node", "new_lbl")
+            .join(labels, "node")
+            .filter(F.col("new_lbl") != F.col("lbl"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    sizes = labels.groupBy("lbl").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return labels.join(sizes, "lbl").select(
+        F.col("node").alias(id_col),
+        F.col("lbl").alias("cluster_id"),
+        "cluster_size",
+    )
+
+
 def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """(doc_id, simhash): bit-majority fingerprint over token hashes.
 
