@@ -53,6 +53,9 @@ SUITE_QUERIES = [
     "text_quality",
     "doc_fingerprint",
     "dedup_minhash_lsh",
+    "dedup_clusters",
+    "pii_scrub",
+    "topk_ngrams",
     "simhash_pairs",
     "knn_bruteforce",
     "knn_lsh",
