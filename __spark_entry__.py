@@ -440,6 +440,46 @@ def q_topk_ngrams(spark, sf_dir):
     return T.top_ngrams(docs, k_top=20, n=2)
 
 
+# stratified-sample rates used by the query and its oracle (and the
+# report query): mixture weights over documents.lang
+SAMPLE_RATES = {"en": 0.25, "de": 1.0, "zh": 0.5}
+SAMPLE_DEFAULT = 0.1
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic hash-bucket stratified sampling
+    (operators/sample.py): the same row keeps/drops at any parallelism
+    or partitioning — df.sample() guarantees neither."""
+    from sac2mseed_spark.operators.sample import stratified_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return stratified_sample(
+        docs, "lang", SAMPLE_RATES, default_rate=SAMPLE_DEFAULT
+    ).select("doc_id", "lang", "bucket")
+
+
+def q_sample_report(spark, sf_dir):
+    """Per-stratum sampling lineage: rows in/kept + realized rate — the
+    metadata row a curation job appends (writemetadata analogue,
+    /root/reference/src/sac2mseed.c:944-1100)."""
+    from sac2mseed_spark.operators.sample import sample_rates_report
+
+    docs = load_table(spark, sf_dir, "documents")
+    return sample_rates_report(
+        docs, "lang", SAMPLE_RATES, default_rate=SAMPLE_DEFAULT
+    )
+
+
+def q_embedding_quantize(spark, sf_dir):
+    """Per-vector int8 quantization stats (operators/quantize.py):
+    expression-level HOFs with a sequential error fold — the mse float
+    matches DuckDB's list fold bit-for-bit before the 6dp round."""
+    from sac2mseed_spark.operators.quantize import quantize_embeddings
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return quantize_embeddings(emb)
+
+
 def q_dedup_simhash(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     return D.simhash(_aug_docs(docs))
@@ -609,6 +649,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "pii_scrub": q_pii_scrub,
         "topk_ngrams": q_topk_ngrams,
+        "stratified_sample": q_stratified_sample,
+        "sample_report": q_sample_report,
+        "embedding_quantize": q_embedding_quantize,
         "simhash_pairs": q_simhash_pairs,
         "knn_bruteforce": q_knn_bruteforce,
         "knn_lsh": q_knn_lsh,
@@ -958,6 +1001,78 @@ SELECT ngram, n_occurrences,
 FROM counts
 WINDOW w AS (ORDER BY n_occurrences DESC, ngram)
 QUALIFY row_number() OVER w <= {k_top}
+"""
+
+
+def _sample_case_sql() -> str:
+    from sac2mseed_spark.operators.sample import SAMPLE_MOD
+
+    arms = " ".join(
+        f"WHEN lang = '{k}' THEN {int(round(r * SAMPLE_MOD))}"
+        for k, r in sorted(SAMPLE_RATES.items())
+    )
+    return f"CASE {arms} ELSE {int(round(SAMPLE_DEFAULT * SAMPLE_MOD))} END"
+
+
+def _sample_bucket_sql() -> str:
+    from sac2mseed_spark.operators.sample import SAMPLE_MOD
+
+    return f"{h60_sql('CAST(doc_id AS VARCHAR)', seed='strat')} % {SAMPLE_MOD}"
+
+
+def _stratified_sample_sql() -> str:
+    return f"""
+WITH b AS (
+  SELECT doc_id, lang, {_sample_bucket_sql()} AS bucket FROM documents
+)
+SELECT doc_id, lang, bucket FROM b WHERE bucket < {_sample_case_sql()}
+"""
+
+
+def _sample_report_sql() -> str:
+    return f"""
+WITH b AS (
+  SELECT doc_id, lang, {_sample_bucket_sql()} AS bucket FROM documents
+),
+kept AS (SELECT lang, count(*) AS n_kept FROM b
+         WHERE bucket < {_sample_case_sql()} GROUP BY 1),
+total AS (SELECT lang, count(*) AS n_rows FROM b GROUP BY 1)
+SELECT t.lang, t.n_rows, coalesce(k.n_kept, 0) AS n_kept,
+       round(coalesce(k.n_kept, 0) / t.n_rows, 6) AS realized_rate
+FROM total t LEFT JOIN kept k ON t.lang = k.lang
+"""
+
+
+def _embedding_quantize_sql() -> str:
+    return """
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings
+),
+s AS (
+  SELECT vec_id, ev, len(ev) AS dims,
+         list_max(list_transform(ev, x -> abs(x))) AS absmax
+  FROM v
+),
+sc AS (
+  SELECT vec_id, ev, dims,
+         CASE WHEN absmax > 0 THEN absmax / 127 ELSE 0.0 END AS scale
+  FROM s
+),
+q AS (
+  SELECT vec_id, ev, dims, scale,
+         list_transform(ev, x -> CAST(least(greatest(
+           CASE WHEN scale > 0 THEN round(x / scale, 0) ELSE 0.0 END,
+           -127.0), 127.0) AS INTEGER)) AS qv
+  FROM sc
+)
+SELECT vec_id, CAST(dims AS INTEGER) AS dims, round(scale, 6) AS scale,
+       CAST(list_aggregate(qv, 'sum') AS BIGINT) AS q_sum,
+       list_min(qv) AS q_min, list_max(qv) AS q_max,
+       round(list_sum(list_transform(
+         range(1, CAST(dims AS INTEGER) + 1),
+         i -> (ev[i] - qv[i] * scale) * (ev[i] - qv[i] * scale))) / dims, 6)
+         AS mse
+FROM q
 """
 
 
@@ -1512,6 +1627,9 @@ SELECT * FROM bad UNION ALL SELECT * FROM good""",
         "dedup_clusters": _dedup_clusters_sql(0.5),
         "pii_scrub": _pii_scrub_sql(),
         "topk_ngrams": _topk_ngrams_sql(20),
+        "stratified_sample": _stratified_sample_sql(),
+        "sample_report": _sample_report_sql(),
+        "embedding_quantize": _embedding_quantize_sql(),
         "simhash_pairs": _simhash_pairs_sql(3),
         "knn_bruteforce": _knn_sql(5),
         "knn_lsh": _knn_lsh_sql(5),
