@@ -76,7 +76,12 @@ def _round_line(r: dict) -> str:
 
 
 def family_md(
-    title: str, fname: str, busy: str, envelope: str, archive: str = ""
+    title: str,
+    fname: str,
+    busy: str,
+    envelope: str,
+    archive: str = "",
+    score: str = "median",
 ) -> str:
     d = _load(fname)
     arch = f"\n\n{archive}" if archive else ""
@@ -107,14 +112,56 @@ NOT MEASURED on the current fixture ({busy} busy cores at 4N;
                 why = (p["n"].get("invalid_reason")
                        or p["x"].get("invalid_reason") or "window lost")
                 why = f" VOID — {why}"
+            elif p["n"].get("episode_note") or p["x"].get("episode_note"):
+                why = " held (episode suspect)"
+            else:
+                why = " held"
             lines.append(
-                f"| {p['pair_id']} | {'held' if p['valid'] else why.strip()} |"
+                f"| {p['pair_id']} | {why.strip()} |"
                 f" {_round_line(p['n'])} |"
                 f" {_round_line(p['x'])} | **{p['eff']}** |"
             )
         valid = [p for p in pairs if p["valid"]]
         lines.append("")
-        if valid:
+        if valid and score == "distribution":
+            effs = sorted(p["eff"] for p in valid)
+            walls_x = sorted(p["x"]["wall_s"] for p in valid)
+            walls_n = sorted(p["n"]["wall_s"] for p in valid)
+            stage_rows = [
+                f"| {p['pair_id']} | {p['x']['wall_s']} |"
+                f" {p['x']['stages'].get('metrics')} |"
+                f" {p['x']['stages'].get('cascade')} |"
+                f" {p['x']['stages'].get('pack')} |"
+                for p in sorted(valid, key=lambda p: p["x"]["wall_s"])
+            ]
+            lines.append(
+                f"**Not scored as a single number — the paired efficiency is"
+                f" not a stable property of this box at full width.** Across"
+                f" {len(valid)} validated-window pairs in one day the 4N"
+                f" wall spans {walls_x[0]}-{walls_x[-1]}s"
+                f" ({round(walls_x[-1] / walls_x[0], 2)}x) on IDENTICAL"
+                f" deterministic work while the N wall replicates"
+                f" {walls_n[0]}-{walls_n[-1]}s"
+                f" ({round(walls_n[-1] / walls_n[0], 2)}x); efficiency"
+                f" observed {effs[0]}-{effs[-1]} (upper envelope"
+                f" **{effs[-1]}**). Per-stage decomposition of each valid"
+                f" 4N leg attributes the dispersion:"
+            )
+            lines.append("")
+            lines.append("| pair | 4N wall | metrics | cascade | pack |")
+            lines.append("|---|---|---|---|---|")
+            lines.extend(stage_rows)
+            lines.append("")
+            lines.append(
+                "Only the DRAM-streaming metrics stage disperses"
+                " (cascade/pack replicate near the concurrency-ladder clean"
+                " values in the faster legs): the 4N leg measures the"
+                " host's time-varying memory capacity at 32 busy cores, a"
+                " quantity no real 8-node cluster shares. The engine"
+                " property this variant probes is measured inside the"
+                " envelope by the 2-core gate above."
+            )
+        elif valid:
             effs = sorted(p["eff"] for p in valid)
             med = effs[len(effs) // 2] if len(effs) % 2 else round(
                 (effs[len(effs) // 2 - 1] + effs[len(effs) // 2]) / 2, 3
@@ -329,7 +376,7 @@ warm -> barrier -> timed protocol (scaling_bench.exec_worker).
 
 {family_md("4-core node spec: 1 -> 4 executors x 4 cores", "gate_1_to_4.json", "4 -> 16", f"triad {membw.get('eff_4_to_16')} — OUTSIDE the envelope; see §0 irreducibility experiment", "t_scale8 evidence archived in `gate_1_to_4_t_scale8.json` (best paired 0.437 at 12g; the §0 pack-kernel experiment shows the 4->16-busy-core DRAM cliff alone caps this family near 0.5 regardless of engine quality, which is why the inside-envelope 2-core spec above is the scored gate).")}
 
-{family_md("Full-box: 2 -> 8 executors x 4 cores", "fullbox_2_to_8.json", "8 -> 32", f"triad {membw.get('eff_8_to_32')}, ALU {cal.get('eff_8_to_32')}", "Episode note (2026-08-18): the first two fb_4n legs (397.0/405.1s) ran inside an fb_anomaly-class host episode — the identical config replicated at 159.6s (`conc_ladder.json`) and 112.0s (pair p0818_1247) in clean windows the same day, while the N legs replicated cleanly throughout (285.8-315.1s); the 405.1s leg is re-tagged by the mechanical 1.5x-replication criterion in `tools/retag_episode_rounds.py`. t_scale8 evidence archived in `fullbox_2_to_8_t_scale8.json` (valid 4N 51.95s = 605.7k pts/s full-box; its paired N leg was voided by the same anomaly class, `fb_anomaly.json`).")}
+{family_md("Full-box: 2 -> 8 executors x 4 cores", "fullbox_2_to_8.json", "8 -> 32", f"triad {membw.get('eff_8_to_32')}, ALU {cal.get('eff_8_to_32')}", "Episode annotation: rounds whose wall exceeds 1.5x the fastest valid identical-config replication carry an `episode_note` (`tools/retag_episode_rounds.py` — annotation only, validity untouched; an earlier valid-voiding revision was reverted as selection-biased). t_scale8 evidence archived in `fullbox_2_to_8_t_scale8.json` (valid 4N 51.95s = 605.7k pts/s full-box; its paired N leg was voided by the fb_anomaly in-leg degradation, `fb_anomaly.json`).", score="distribution")}
 {ladder_md}
 ### Which number is the gate?
 
@@ -379,12 +426,13 @@ the §0 triad envelope for a partially memory-bound kernel.
   context only.
 - Episode detection: edge probes cannot catch a host degradation
   episode that spans a whole leg and lifts before the post-probe retry
-  (proven twice: `fb_anomaly.json`, and the 2026-08-18 fb_4n morning
-  legs). Cross-window replication of the identical config is the
-  detector: a valid-tagged round whose wall exceeds 1.5x the fastest
-  valid identical-config round is re-tagged as a host-episode outlier
-  (`tools/retag_episode_rounds.py`, one-sided by the episode mechanism,
-  original tags preserved in `retag_note`).
+  (proven twice: `fb_anomaly.json`, and the 2026-08-18 fb_4n legs at
+  397-405s vs 112-160s clean replications). Cross-window replication of
+  the identical config is the detector: affected rounds are ANNOTATED
+  (`episode_note`, tools/retag_episode_rounds.py) and families where
+  host state dominates are reported as a dispersion, never filtered to
+  the surviving best (a wall-based void criterion over a continuum of
+  host states is selection bias in either direction).
 - Every scored row publishes (wall, steal, sys-frac, heap, stage walls,
   per-executor stage timestamps); raws are never discarded, including
   poisoned pre-fix rounds (kept with explanatory notes).

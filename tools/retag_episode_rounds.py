@@ -1,27 +1,29 @@
-"""Re-tag rounds that ran inside a host compute-degradation episode.
+"""Annotate rounds that ran inside a host compute-degradation episode.
 
-This box has multi-hour episodes where guest user-mode CPU runs several
+This box has multi-hour windows where guest user-mode CPU runs several
 times slower with ZERO steal and passing edge probes — first documented
 in BENCH/phases/fb_anomaly.json (an fb_n leg at 510.7s whose identical
-config reproduced at 126.5s minutes later). On 2026-08-18 it recurred:
-both morning fb_4n legs measured 397.0s / 405.1s, while the identical
+config reproduced at 126.5s minutes later). On 2026-08-18 the fb_4n
 config (8 executors x 4 cores, 12g, t_scale16, pinned, prewarmed)
-replicated at 159.6s (conc_ladder.json K=8) and 112.0s (validated pair
-p0818_1247) in clean windows the same afternoon — 2.5-3.6x faster. The
-morning N legs replicated cleanly across the same windows (285.8 /
-290.7 / 315.1s, spread 1.10x), so the config and fixture are not the
-variable; the episode is.
+measured 397.0 / 405.1 / 257.3 / 159.6 / 112.0 s across five runs of
+IDENTICAL deterministic work in probe-verified windows, while the N
+config replicated 262.7-315.1s (1.2x) throughout. Per-stage
+decomposition attributes the dispersion: in the 257.3s leg only the
+DRAM-streaming metrics stage inflated (204s vs 68.7s clean; cascade
+10.0s and pack 43.1s both clean), and in the ~400s legs cascade/pack
+inflated too — i.e. the legs measure the host's time-varying memory
+capacity at full width, not the engine.
 
-Mechanical criterion (one-sided by the episode mechanism — host
-degradation only ever slows a leg): a round is re-tagged
-valid=false, reason "host-episode outlier", iff its wall exceeds
-EPISODE_FACTOR x the fastest VALID round of the IDENTICAL config
-(executors, cores_per_executor, mem, fixture) in the same phase file.
-Edge-probe validity cannot catch a whole-leg episode (the post-leg
-probe's retry path recovers once the episode ends — exactly what
-p0818_1124's +95s retry did); cross-window replication of the identical
-config can. Raw fields are preserved (`retag_note` records the original
-tag), nothing is deleted, and the criterion + evidence live here.
+An earlier revision of this tool re-tagged slow outliers invalid
+(wall > 1.5x fastest valid identical-config round). That was reverted:
+with a continuum of host states (112-405s), a wall-based void criterion
+either filters toward the best window (selection bias) or voids most of
+the data. Instead this tool ANNOTATES: every valid round whose wall
+exceeds EPISODE_FACTOR x the fastest valid identical-config round gets
+an `episode_note` naming the replications, and the BASELINE.md fullbox
+section reports the full dispersion rather than a single scored median
+(see tools/build_baseline.py). Validity flags are untouched; nothing is
+hidden or discarded.
 
 Idempotent; run: python tools/retag_episode_rounds.py
 """
@@ -45,7 +47,7 @@ def _config(r: dict) -> tuple:
     )
 
 
-def retag(fname: str) -> int:
+def annotate(fname: str) -> int:
     path = os.path.join(PH, fname)
     if not os.path.exists(path):
         return 0
@@ -54,31 +56,21 @@ def retag(fname: str) -> int:
     n = 0
     for key in ("rounds_n", "rounds_4n"):
         rounds = d.get(key, [])
-        # fastest valid wall per identical config (episode-retagged rounds
-        # excluded from the reference so the pass is idempotent)
         best: dict[tuple, float] = {}
         for r in rounds:
-            if r.get("valid") and "host-episode outlier" not in str(
-                r.get("invalid_reason", "")
-            ):
+            if r.get("valid"):
                 c = _config(r)
                 best[c] = min(best.get(c, float("inf")), r["wall_s"])
         for r in rounds:
-            if not r.get("valid"):
+            if not r.get("valid") or "episode_note" in r:
                 continue
             ref = best.get(_config(r))
             if ref and r["wall_s"] > EPISODE_FACTOR * ref:
-                r["retag_note"] = (
-                    f"originally valid=true (edge probes passed); re-tagged "
-                    f"by tools/retag_episode_rounds.py: wall {r['wall_s']}s "
-                    f"> {EPISODE_FACTOR} x fastest valid identical-config "
-                    f"round ({ref}s) — fb_anomaly-class host episode"
-                )
-                r["valid"] = False
-                r["invalid_reason"] = (
-                    f"host-episode outlier: {r['wall_s']}s vs {ref}s "
-                    f"replicated clean (criterion {EPISODE_FACTOR}x, see "
-                    f"tools/retag_episode_rounds.py)"
+                r["episode_note"] = (
+                    f"host-episode suspect: wall {r['wall_s']}s vs {ref}s "
+                    f"fastest valid identical-config replication (factor "
+                    f"{round(r['wall_s'] / ref, 2)}; criterion "
+                    f"{EPISODE_FACTOR}x, tools/retag_episode_rounds.py)"
                 )
                 n += 1
     if n:
@@ -86,10 +78,10 @@ def retag(fname: str) -> int:
         with open(tmp, "w") as f:
             json.dump(d, f)
         os.replace(tmp, path)
-    print(f"{fname}: {n} round(s) re-tagged")
+    print(f"{fname}: {n} round(s) annotated")
     return n
 
 
 if __name__ == "__main__":
-    total = sum(retag(f) for f in FILES)
-    print(f"total re-tagged: {total}")
+    total = sum(annotate(f) for f in FILES)
+    print(f"total annotated: {total}")
