@@ -480,6 +480,83 @@ def q_embedding_quantize(spark, sf_dir):
     return quantize_embeddings(emb)
 
 
+# token budget per training shard (shared by query and oracle)
+SHARD_BUDGET_TOKENS = 2000
+
+
+def q_token_shards(spark, sf_dir):
+    """Token-budget shard assignment (operators/shards.py): distributed
+    two-pass prefix sum over (lang, doc_id) order — partition-count-
+    invariant shard ids, never a whole-stratum window."""
+    from sac2mseed_spark.operators.shards import pack_shards
+
+    docs = load_table(spark, sf_dir, "documents")
+    return pack_shards(docs, SHARD_BUDGET_TOKENS).select(
+        F.col("key").alias("doc_id"),
+        F.col("stratum").alias("lang"),
+        "n_tokens",
+        "shard_id",
+        "shard_offset",
+    )
+
+
+def q_shard_manifest(spark, sf_dir):
+    """Per-shard export manifest (doc count, token total, key range)."""
+    from sac2mseed_spark.operators.shards import pack_shards, shard_manifest
+
+    docs = load_table(spark, sf_dir, "documents")
+    m = shard_manifest(pack_shards(docs, SHARD_BUDGET_TOKENS))
+    return m.select(
+        F.col("stratum").alias("lang"),
+        "shard_id",
+        "n_docs",
+        "n_tokens",
+        F.col("first_key").alias("first_doc_id"),
+        F.col("last_key").alias("last_doc_id"),
+    )
+
+
+# as-of attribution tolerance: a purchase is credited to the user's
+# latest click within this window (shared by query and oracle)
+ASOF_TOLERANCE_US = 86_400_000_000  # 24 h
+
+
+def q_asof_attribution(spark, sf_dir):
+    """Purchase->click as-of attribution (operators/asof.py): latest
+    click at-or-before each purchase per user, 24h tolerance. One
+    shuffle by user_id via the union+running-last formulation — the
+    scale-correct as-of; oracle is DuckDB's native ASOF JOIN."""
+    from sac2mseed_spark.operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "ts_us", F.unix_micros(F.col("ts").cast("timestamp"))
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts_us", "value"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts_us"
+    )
+    out = asof_join(
+        purchases,
+        clicks,
+        key_cols=["user_id"],
+        ts_col="ts_us",
+        right_payload=["event_id"],
+        tolerance_us=ASOF_TOLERANCE_US,
+        tiebreak_col="event_id",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts_us",
+        "value",
+        F.col("event_id_r").alias("click_event_id"),
+        F.col("ts_r").alias("click_ts_us"),
+        (F.col("ts_us") - F.col("ts_r")).alias("gap_us"),
+    )
+
+
 def q_dedup_simhash(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     return D.simhash(_aug_docs(docs))
@@ -652,6 +729,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "sample_report": q_sample_report,
         "embedding_quantize": q_embedding_quantize,
+        "asof_attribution": q_asof_attribution,
+        "token_shards": q_token_shards,
+        "shard_manifest": q_shard_manifest,
         "simhash_pairs": q_simhash_pairs,
         "knn_bruteforce": q_knn_bruteforce,
         "knn_lsh": q_knn_lsh,
@@ -1073,6 +1153,65 @@ SELECT vec_id, CAST(dims AS INTEGER) AS dims, round(scale, 6) AS scale,
          i -> (ev[i] - qv[i] * scale) * (ev[i] - qv[i] * scale))) / dims, 6)
          AS mse
 FROM q
+"""
+
+
+def _token_shards_core_sql() -> str:
+    toks = _TOKENS_SQL.format(t="text")
+    return f"""
+t AS (
+  SELECT doc_id, lang, CAST(len({toks}) AS BIGINT) AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT doc_id, lang, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           - n_tokens AS cum_start
+  FROM t
+),
+shards AS (
+  SELECT doc_id, lang, n_tokens,
+         CAST(floor(cum_start / {SHARD_BUDGET_TOKENS}) AS BIGINT) AS shard_id,
+         cum_start % {SHARD_BUDGET_TOKENS} AS shard_offset
+  FROM c
+)"""
+
+
+def _token_shards_sql() -> str:
+    return f"""
+WITH {_token_shards_core_sql().lstrip()}
+SELECT doc_id, lang, n_tokens, shard_id, shard_offset FROM shards
+"""
+
+
+def _shard_manifest_sql() -> str:
+    return f"""
+WITH {_token_shards_core_sql().lstrip()}
+SELECT lang, shard_id, count(*) AS n_docs, sum(n_tokens) AS n_tokens,
+       min(doc_id) AS first_doc_id, max(doc_id) AS last_doc_id
+FROM shards GROUP BY 1, 2
+"""
+
+
+def _asof_attribution_sql() -> str:
+    return f"""
+WITH p AS (
+  SELECT event_id, user_id, epoch_us(ts) AS ts_us, value
+  FROM events WHERE event_type = 'purchase'
+),
+c0 AS (
+  SELECT user_id, epoch_us(ts) AS ts_us, event_id
+  FROM events WHERE event_type = 'click'
+),
+c AS (  -- deterministic tiebreak: one click per (user, instant)
+  SELECT user_id, ts_us, max(event_id) AS event_id FROM c0 GROUP BY 1, 2
+)
+SELECT p.event_id, p.user_id, p.ts_us, p.value,
+       c.event_id AS click_event_id, c.ts_us AS click_ts_us,
+       p.ts_us - c.ts_us AS gap_us
+FROM p ASOF JOIN c ON p.user_id = c.user_id AND p.ts_us >= c.ts_us
+WHERE p.ts_us - c.ts_us <= {ASOF_TOLERANCE_US}
 """
 
 
@@ -1630,6 +1769,9 @@ SELECT * FROM bad UNION ALL SELECT * FROM good""",
         "stratified_sample": _stratified_sample_sql(),
         "sample_report": _sample_report_sql(),
         "embedding_quantize": _embedding_quantize_sql(),
+        "asof_attribution": _asof_attribution_sql(),
+        "token_shards": _token_shards_sql(),
+        "shard_manifest": _shard_manifest_sql(),
         "simhash_pairs": _simhash_pairs_sql(3),
         "knn_bruteforce": _knn_sql(5),
         "knn_lsh": _knn_lsh_sql(5),

@@ -56,6 +56,8 @@ SUITE_QUERIES = [
     "dedup_clusters",
     "pii_scrub",
     "topk_ngrams",
+    "stratified_sample",
+    "embedding_quantize",
     "simhash_pairs",
     "knn_bruteforce",
     "knn_lsh",
