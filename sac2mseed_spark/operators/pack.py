@@ -26,6 +26,32 @@ embarrassingly parallel and resume-safe (SURVEY.md §7 phase 2 decision).
 Continuity of Xn -> next X0 is verified after the fact by
 verify_continuity() instead of being a sequential dependence at pack time
 (StreamState, libmseed.h:458-465).
+
+Design decision — blob granularity stays ONE WINDOW per blob
+-----------------------------------------------------------
+`tools/profile_unpack.py` showed the t_bench 1m tier is blob-bound:
+~416k blobs of ~4 points each (conversations emit ~2 turns/min) put the
+16-byte header + per-blob parse above the payload cost, and 1m
+bytes/point sits at ~22.6. The reference amortizes this by packing
+multiple frames per record (/root/reference/libmseed/pack.c:314-337),
+and a multi-window segment blob here would similarly cut header share.
+It is deliberately NOT adopted:
+
+  * the incremental pipeline's unit of overwrite is the (conv, window)
+    key (plans/pipeline.py merge_tier) — a blob spanning windows forces
+    read-modify-write of untouched neighbor windows on every delta
+    merge and heal, trading a storage constant for write amplification
+    in the steady-state path;
+  * the tier cascade already provides the amortization: 1h/1d blobs
+    carry 60x/1440x more points per header, and retention moves old
+    data to exactly those tiers — the 1m overhead is paid only on the
+    freshest band;
+  * serving-path selections prune on (conv, window) parquet ranges; a
+    segment blob would widen every point lookup to its segment.
+
+So ~22.6 bytes/point at 1m is recorded as the accepted floor for
+fine-tier freshness, not an oversight. Revisit only if a deployment
+holds months of data at 1m granularity (i.e. misuses the tier system).
 """
 
 from __future__ import annotations
