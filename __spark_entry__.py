@@ -480,6 +480,23 @@ def q_embedding_quantize(spark, sf_dir):
     return quantize_embeddings(emb)
 
 
+# benchmark set for the contamination screen: docs below this id
+CONTAM_BENCH_MAX_ID = 20
+
+
+def q_contamination(spark, sf_dir):
+    """Benchmark-contamination screen (operators/contamination.py):
+    per-doc shingle overlap with a broadcast benchmark set — the
+    decontamination pass every pretraining corpus runs against eval
+    sets."""
+    from sac2mseed_spark.operators.contamination import contamination_screen
+
+    docs = load_table(spark, sf_dir, "documents")
+    return contamination_screen(
+        docs, F.col("doc_id") < CONTAM_BENCH_MAX_ID
+    )
+
+
 # token budget per training shard (shared by query and oracle)
 SHARD_BUDGET_TOKENS = 2000
 
@@ -732,6 +749,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_attribution": q_asof_attribution,
         "token_shards": q_token_shards,
         "shard_manifest": q_shard_manifest,
+        "contamination": q_contamination,
         "simhash_pairs": q_simhash_pairs,
         "knn_bruteforce": q_knn_bruteforce,
         "knn_lsh": q_knn_lsh,
@@ -1153,6 +1171,33 @@ SELECT vec_id, CAST(dims AS INTEGER) AS dims, round(scale, 6) AS scale,
          i -> (ev[i] - qv[i] * scale) * (ev[i] - qv[i] * scale))) / dims, 6)
          AS mse
 FROM q
+"""
+
+
+def _contamination_sql() -> str:
+    toks = _TOKENS_SQL.format(t="text")
+    return f"""
+WITH tok AS (
+  SELECT doc_id, {toks} AS toks FROM documents
+),
+sh AS (
+  SELECT doc_id, unnest(
+    CASE WHEN len(toks) >= 3
+         THEN [array_to_string(toks[i:i+2], ' ') FOR i IN range(1, len(toks) - 1)]
+         ELSE [array_to_string(toks, ' ')] END) AS sh
+  FROM tok
+),
+bench AS (
+  SELECT DISTINCT sh FROM sh WHERE doc_id < {CONTAM_BENCH_MAX_ID}
+)
+SELECT doc_id,
+       count(sh) AS n_shingles,
+       CAST(sum(CASE WHEN sh IN (SELECT sh FROM bench) THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_hits,
+       round(sum(CASE WHEN sh IN (SELECT sh FROM bench) THEN 1 ELSE 0 END)
+             / greatest(count(sh), 1), 6) AS contam_rate
+FROM sh WHERE doc_id >= {CONTAM_BENCH_MAX_ID}
+GROUP BY 1
 """
 
 
@@ -1772,6 +1817,7 @@ SELECT * FROM bad UNION ALL SELECT * FROM good""",
         "asof_attribution": _asof_attribution_sql(),
         "token_shards": _token_shards_sql(),
         "shard_manifest": _shard_manifest_sql(),
+        "contamination": _contamination_sql(),
         "simhash_pairs": _simhash_pairs_sql(3),
         "knn_bruteforce": _knn_sql(5),
         "knn_lsh": _knn_lsh_sql(5),
