@@ -58,6 +58,9 @@ SUITE_QUERIES = [
     "topk_ngrams",
     "stratified_sample",
     "embedding_quantize",
+    "asof_attribution",
+    "token_shards",
+    "contamination",
     "simhash_pairs",
     "knn_bruteforce",
     "knn_lsh",
