@@ -38,6 +38,12 @@ def show(name, path, factor=4):
         print(f"{name}.{key}:")
         for r in d[key]:
             print(_fmt(r))
+        if not d[key]:
+            print("  (no rounds)")
+    if not (d["rounds_n"] and d["rounds_4n"]):
+        print(f"{name}: no scorable rounds\n")
+        return
+    for key in ("rounds_n", "rounds_4n"):
         best[key] = min(d[key], key=lambda r: r["wall_s"])
     eff = best["rounds_n"]["wall_s"] / (factor * best["rounds_4n"]["wall_s"])
     print(
