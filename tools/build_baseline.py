@@ -252,12 +252,17 @@ seconds from everything around them (Arrow transfer, scheduling, GC):
 The SAME kernel code over the SAME {fixture_meta.get("n_turns", 0):,} rows costs
 **{dv["kernel_inflation_4N_vs_N"]}x more CPU** when 16 cores are busy than when 4
 are — per-core throughput halves, uniformly across executors (no
-straggler; raw in `BENCH/phases/pack_scale_kernel.json`). The STREAM
-triad predicts exactly this: membw eff(4->16) = {dv["membw_triad_eff_4_to_16_same_box"]} implies
-{dv["membw_implied_inflation"]}x inflation for bandwidth-bound work. The shortfall is the
-host's shared DRAM controllers, not engine overhead — four real cluster
-nodes bring four memory subsystems. This is the committed experiment the
-round-4 verdict asked for: the 4->16-busy-core floor is host-irreducible.
+straggler; raw in `BENCH/phases/pack_scale_kernel.json`). The
+same-session STREAM triad predicted exactly this: membw eff(4->16) =
+{dv["membw_triad_eff_4_to_16_same_box"]} implies {dv["membw_implied_inflation"]}x
+inflation for bandwidth-bound work — kernel inflation and triad
+capacity were measured in the SAME host phase and agree. The
+time-varying-ceiling finding above completes the attribution: in the
+2026-08-18 clean phase the identical kernel harness inflates only
+x1.07 at 8 / x1.39 at 32 pinned workers (`pack_kernel_conc.json`) while
+triad reads near-linear — kernel inflation CO-VARIES with the host's
+deliverable bandwidth with zero code change, which is the strongest
+form of the host-not-engine attribution the round-4 verdict asked for.
 """
 
     ladder_md = ""
@@ -352,14 +357,23 @@ the resource every parquet-decode/shuffle/Arrow/codec stage lives on):
 Triad efficiency 2 -> 8 procs = **{membw.get("eff_2_to_8")}**,
 4 -> 16 = **{membw.get("eff_4_to_16")}**, 8 -> 32 = **{membw.get("eff_8_to_32")}**.
 {sustained_md}
-The envelope: this box scales pure COMPUTE near-linearly to 16 busy
-cores, but its memory subsystem delivers only ~half of linear from 4 ->
-16 concurrent memory-bound processes. A real cluster has no such shared
-ceiling — every node brings its own DRAM — so an N -> 4N emulation on
-one box is faithful only while its 4N footprint stays inside the
-envelope. The 2-core node spec (2 -> 8 busy cores, triad eff
-{membw.get("eff_2_to_8")}) is inside; the 4-core spec (4 -> 16 busy,
-triad eff {membw.get("eff_4_to_16")}) is not.
+**The ceiling is TIME-VARYING, not a fixed cliff.** Back-to-back ramps
+minutes apart (raw in `membw.json` `sessions`) read 16p aggregate triad
+at 166.7-173.1 GB/s in two ramps (eff 4->16 ~0.97, near-linear) and
+75.9 GB/s in the third (eff 0.44) — a >2x swing in the host's deliverable
+memory bandwidth with zero steal. The archived single-ramp reading that
+§0 previously presented as a stable "4->16 DRAM cliff" (16p = 99.8
+GB/s, eff 0.522) was one draw from this distribution. Consequences:
+(a) any one scaling measurement of a bandwidth-hungry stage is a draw
+from the HOST's capacity distribution, which is why full-box rounds are
+reported as a dispersion (§1); (b) pure compute is NOT subject to the
+swing (ALU calibrations replicate within ~10%), so compute-bound stages
+replicate while streaming stages disperse — exactly the stage
+fingerprint the concurrency ladder shows. A real cluster has per-node
+DRAM and no co-tenant bandwidth weather; an N -> 4N emulation on one
+box is faithful only while the 4N footprint stays under the CURRENT
+ceiling. The 2-core node spec (2 -> 8 busy cores) fits under even the
+degraded draws; the full-box 32-core footprint does not.
 {packk_md}
 ## 1. Multi-executor emulation (the cluster analogue)
 
