@@ -480,6 +480,29 @@ def q_embedding_quantize(spark, sf_dir):
     return quantize_embeddings(emb)
 
 
+# trailing z-score anomaly parameters (shared by query and oracle)
+ANOMALY_K = 12
+ANOMALY_TAU = 2.0
+
+
+def q_anomaly_zscore(spark, sf_dir):
+    """Trailing z-score latency anomalies over the 1m tier
+    (operators/anomaly.py): integer window sums keep the floats
+    bit-identical across engines despite differing frame-aggregation
+    orders. The scored value is whole seconds of window latency —
+    floored BEFORE the window sums so squares stay inside int64 (raw
+    µs squares would overflow: Spark wraps, DuckDB promotes)."""
+    from sac2mseed_spark.operators.anomaly import zscore_anomalies
+
+    t1m = rollup_from_turns(_metrics(spark, sf_dir), "1m").withColumn(
+        "lat_s",
+        F.floor(F.col("sum_latency_us") / F.lit(1000000.0)).cast("long"),
+    )
+    return zscore_anomalies(
+        t1m, k=ANOMALY_K, tau=ANOMALY_TAU, value_col="lat_s"
+    )
+
+
 # benchmark set for the contamination screen: docs below this id
 CONTAM_BENCH_MAX_ID = 20
 
@@ -750,6 +773,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_shards": q_token_shards,
         "shard_manifest": q_shard_manifest,
         "contamination": q_contamination,
+        "anomaly_zscore": q_anomaly_zscore,
         "simhash_pairs": q_simhash_pairs,
         "knn_bruteforce": q_knn_bruteforce,
         "knn_lsh": q_knn_lsh,
@@ -1171,6 +1195,37 @@ SELECT vec_id, CAST(dims AS INTEGER) AS dims, round(scale, 6) AS scale,
          i -> (ev[i] - qv[i] * scale) * (ev[i] - qv[i] * scale))) / dims, 6)
          AS mse
 FROM q
+"""
+
+
+def _anomaly_zscore_sql() -> str:
+    k = ANOMALY_K
+    mean = f"CAST(s AS DOUBLE)/{float(k)}"
+    var = f"CAST(ss AS DOUBLE)/{float(k)} - ({mean})*({mean})"
+    return f"""
+{_ORACLE_PREFIX},
+t1m AS ({_tier_body_sql('1m')}),
+v AS (
+  SELECT conv_id, window_start_us,
+         CAST(floor(sum_latency_us / 1000000.0) AS BIGINT) AS value
+  FROM t1m
+),
+w AS (
+  SELECT conv_id, window_start_us, value,
+         count(value) OVER tw AS cnt,
+         sum(value) OVER tw AS s,
+         sum(value * value) OVER tw AS ss
+  FROM v
+  WINDOW tw AS (PARTITION BY conv_id ORDER BY window_start_us
+                ROWS BETWEEN {k} PRECEDING AND 1 PRECEDING)
+)
+SELECT conv_id, window_start_us, value,
+       round({mean}, 6) AS trail_mean,
+       round(sqrt({var}), 6) AS trail_std,
+       round((CAST(value AS DOUBLE) - ({mean})) / sqrt({var}), 6) AS z
+FROM w
+WHERE cnt = {k} AND ({var}) > 0
+  AND abs((CAST(value AS DOUBLE) - ({mean})) / sqrt({var})) >= {ANOMALY_TAU}
 """
 
 
@@ -1818,6 +1873,7 @@ SELECT * FROM bad UNION ALL SELECT * FROM good""",
         "token_shards": _token_shards_sql(),
         "shard_manifest": _shard_manifest_sql(),
         "contamination": _contamination_sql(),
+        "anomaly_zscore": _anomaly_zscore_sql(),
         "simhash_pairs": _simhash_pairs_sql(3),
         "knn_bruteforce": _knn_sql(5),
         "knn_lsh": _knn_lsh_sql(5),
