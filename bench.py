@@ -61,6 +61,7 @@ SUITE_QUERIES = [
     "asof_attribution",
     "token_shards",
     "contamination",
+    "anomaly_zscore",
     "simhash_pairs",
     "knn_bruteforce",
     "knn_lsh",
