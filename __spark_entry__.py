@@ -458,6 +458,27 @@ def q_stratified_sample(spark, sf_dir):
     ).select("doc_id", "lang", "bucket")
 
 
+# mixture resampling weights: de upsampled 2.5x, en kept at 25%,
+# everything else passed through (rate 1.0)
+RESAMPLE_RATES = {"de": 2.5, "en": 0.25}
+RESAMPLE_DEFAULT = 1.0
+
+
+def q_stratified_resample(spark, sf_dir):
+    """Deterministic mixture resampling with upsampling
+    (operators/sample.py stratified_resample): integral rate part
+    replicates, fractional part keeps the hash-bucket subset; exploded
+    copy_idx keys each replica."""
+    from sac2mseed_spark.operators.sample import stratified_resample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return stratified_resample(
+        docs, "lang", RESAMPLE_RATES, default_rate=RESAMPLE_DEFAULT
+    ).select(
+        "doc_id", "lang", "bucket", F.col("copy_idx").cast("long").alias("copy_idx")
+    )
+
+
 def q_sample_report(spark, sf_dir):
     """Per-stratum sampling lineage: rows in/kept + realized rate — the
     metadata row a curation job appends (writemetadata analogue,
@@ -768,6 +789,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_ngrams": q_topk_ngrams,
         "stratified_sample": q_stratified_sample,
         "sample_report": q_sample_report,
+        "stratified_resample": q_stratified_resample,
         "embedding_quantize": q_embedding_quantize,
         "asof_attribution": q_asof_attribution,
         "token_shards": q_token_shards,
@@ -1148,6 +1170,35 @@ WITH b AS (
   SELECT doc_id, lang, {_sample_bucket_sql()} AS bucket FROM documents
 )
 SELECT doc_id, lang, bucket FROM b WHERE bucket < {_sample_case_sql()}
+"""
+
+
+def _stratified_resample_sql() -> str:
+    from sac2mseed_spark.operators.sample import SAMPLE_MOD
+
+    int_arms = " ".join(
+        f"WHEN lang = '{k}' THEN {int(r)}"
+        for k, r in sorted(RESAMPLE_RATES.items())
+    )
+    frac_arms = " ".join(
+        f"WHEN lang = '{k}' THEN {int(round((r % 1.0) * SAMPLE_MOD))}"
+        for k, r in sorted(RESAMPLE_RATES.items())
+    )
+    int_default = int(RESAMPLE_DEFAULT)
+    frac_default = int(round((RESAMPLE_DEFAULT % 1.0) * SAMPLE_MOD))
+    return f"""
+WITH b AS (
+  SELECT doc_id, lang, {_sample_bucket_sql()} AS bucket FROM documents
+),
+c AS (
+  SELECT doc_id, lang, bucket,
+         (CASE {int_arms} ELSE {int_default} END)
+         + (CASE WHEN bucket < (CASE {frac_arms} ELSE {frac_default} END)
+                 THEN 1 ELSE 0 END) AS n_copies
+  FROM b
+)
+SELECT doc_id, lang, bucket, unnest(range(0, n_copies)) AS copy_idx
+FROM c WHERE n_copies > 0
 """
 
 
@@ -1868,6 +1919,7 @@ SELECT * FROM bad UNION ALL SELECT * FROM good""",
         "topk_ngrams": _topk_ngrams_sql(20),
         "stratified_sample": _stratified_sample_sql(),
         "sample_report": _sample_report_sql(),
+        "stratified_resample": _stratified_resample_sql(),
         "embedding_quantize": _embedding_quantize_sql(),
         "asof_attribution": _asof_attribution_sql(),
         "token_shards": _token_shards_sql(),

@@ -57,6 +57,54 @@ def stratified_sample(
     return df.withColumn("bucket", b).filter(F.col("bucket") < thr)
 
 
+def stratified_resample(
+    df: DataFrame,
+    strata_col: str,
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+    key_col: str = "doc_id",
+    seed: str = "strat",
+) -> DataFrame:
+    """Mixture resampling with rates ABOVE 1.0: deterministic repetition.
+
+    A training mixture upsamples scarce strata ("2.5x the de docs") as
+    well as downsampling rich ones; ``df.sample(withReplacement=True)``
+    is non-deterministic and row-count-only. Here each row gets
+    ``n_copies = floor(rate) + [bucket < frac(rate) * SAMPLE_MOD]`` —
+    the integral part replicates every row, the fractional part keeps
+    the same hash-bucket subset stratified_sample would keep — and is
+    exploded with a ``copy_idx`` column (0..n_copies-1) so downstream
+    shuffles/augmentations can key on (row, copy).
+
+    Rate 1.0 reduces to the identity (one copy of every row); rates
+    below 1.0 reduce to stratified_sample's subset with copy_idx 0.
+    Scale shape: codegen filter + explode(sequence) on a scan — no
+    shuffle, no driver state; expansion factor == the mixture weight.
+    """
+    int_part: Column = F.lit(int(default_rate))
+    frac_thr: Column = F.lit(int(round((default_rate % 1.0) * SAMPLE_MOD)))
+    for value, r in sorted(rates.items()):
+        if r < 0:
+            raise ValueError(f"rate for {value!r} must be >= 0, got {r}")
+        int_part = F.when(F.col(strata_col) == value, F.lit(int(r))).otherwise(
+            int_part
+        )
+        frac_thr = F.when(
+            F.col(strata_col) == value, F.lit(int(round((r % 1.0) * SAMPLE_MOD)))
+        ).otherwise(frac_thr)
+    b = sample_bucket(key_col, seed)
+    n_copies = int_part + (b < frac_thr).cast("int")
+    return (
+        df.withColumn("bucket", b)
+        .withColumn("n_copies", n_copies)
+        .filter(F.col("n_copies") > 0)
+        .withColumn(
+            "copy_idx", F.explode(F.sequence(F.lit(0), F.col("n_copies") - 1))
+        )
+        .drop("n_copies")
+    )
+
+
 def sample_rates_report(
     df: DataFrame,
     strata_col: str,

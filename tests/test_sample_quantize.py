@@ -81,3 +81,39 @@ def test_quantize_invariants(spark):
     assert out[1]["q_sum"] == sum(q_expected)
     mse = sum((v - q / 127.0) ** 2 for v, q in zip(vecs[1][1], q_expected)) / 8
     assert math.isclose(out[1]["mse"], round(mse, 6), abs_tol=1e-6)
+
+
+def test_resample_upsampling_semantics(spark):
+    from sac2mseed_spark.operators.sample import stratified_resample
+
+    docs = _docs(spark)
+    out = stratified_resample(
+        docs, "lang", {"de": 2.5, "en": 0.25}, default_rate=1.0
+    )
+    rows = out.collect()
+    by_key = {}
+    for r in rows:
+        by_key.setdefault(r["doc_id"], []).append(r["copy_idx"])
+    # every de doc appears 2 or 3 times with dense copy_idx 0..n-1
+    de_ids = {r["doc_id"] for r in docs.filter("lang = 'de'").collect()}
+    for d in de_ids:
+        assert sorted(by_key[d]) == list(range(len(by_key[d])))
+        assert len(by_key[d]) in (2, 3)
+    # aggregate de expansion close to 2.5x
+    n_de = sum(len(by_key[d]) for d in de_ids)
+    assert 2.0 * len(de_ids) <= n_de <= 3.0 * len(de_ids)
+    # fr (default 1.0): exactly one copy each
+    fr_ids = {r["doc_id"] for r in docs.filter("lang = 'fr'").collect()}
+    assert all(by_key[d] == [0] for d in fr_ids)
+    # en (0.25): strict subset, single copies, same subset as
+    # stratified_sample at the same rate
+    en_kept = {d for d in by_key if d in
+               {r["doc_id"] for r in docs.filter("lang = 'en'").collect()}}
+    sub = {r["doc_id"] for r in stratified_sample(docs, "lang", {"en": 0.25}, 0.0).collect()}
+    assert en_kept == sub
+    # rate-1.0 identity and negative-rate guard
+    ident = stratified_resample(docs, "lang", {}, default_rate=1.0)
+    assert ident.count() == docs.count()
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        stratified_resample(docs, "lang", {"en": -0.5})
