@@ -48,6 +48,7 @@ from sac2mseed_spark.operators.pack import (
     unpack_tier,
 )
 from sac2mseed_spark.operators.rollup import (
+    rollup_calendar,
     rollup_cascade,
     rollup_from_turns,
 )
@@ -524,6 +525,54 @@ def q_anomaly_zscore(spark, sf_dir):
     )
 
 
+# shared parameters for the smoothing / percentile / downsample queries
+EWMA_K = 8
+EWMA_ALPHA = 0.5
+M4_BUCKET_US = 7 * 86_400_000_000  # 1-week pixel buckets over the 1m tier
+
+
+def q_ewma_smooth(spark, sf_dir):
+    """Bounded-kernel EWMA of per-window token sums over the 1h tier
+    (operators/smooth.py): explicit lag-chain with exact binary-fraction
+    weights — no frame-aggregation order, bit-identical across engines."""
+    from sac2mseed_spark.operators.smooth import ewma_smooth
+
+    t1h = rollup_from_turns(_metrics(spark, sf_dir), "1h")
+    return ewma_smooth(t1h, k=EWMA_K, alpha=EWMA_ALPHA, value_col="sum_tokens")
+
+
+def q_latency_percentiles(spark, sf_dir):
+    """Exact p50/p95 of per-window latency seconds per conversation over
+    the 1h tier (operators/percentiles.py): Spark's exact percentile vs
+    DuckDB quantile_cont, both rank p*(n-1) linear interpolation on
+    integer inputs."""
+    from sac2mseed_spark.operators.percentiles import key_percentiles
+
+    t1h = rollup_from_turns(_metrics(spark, sf_dir), "1h").withColumn(
+        "lat_s",
+        F.floor(F.col("sum_latency_us") / F.lit(1000000.0)).cast("long"),
+    )
+    return key_percentiles(t1h, pcts=(0.5, 0.95), value_col="lat_s")
+
+
+def q_m4_downsample(spark, sf_dir):
+    """M4 visualization downsample of the 1m token series into weekly
+    pixel buckets (operators/downsample.py): per bucket keep only rows
+    achieving min/max value and first/last timestamp (lexicographic
+    struct tiebreak) — ~6.6x reduction on the synthetic corpus."""
+    from sac2mseed_spark.operators.downsample import m4_downsample
+
+    t1m = rollup_from_turns(_metrics(spark, sf_dir), "1m")
+    return m4_downsample(t1m, bucket_us=M4_BUCKET_US, value_col="sum_tokens")
+
+
+def q_rollup_month(spark, sf_dir):
+    """Calendar-aligned monthly tier (operators/rollup.py
+    rollup_calendar): date_trunc bucketing under the pinned-UTC session,
+    same integer-domain statistics as the fixed tiers."""
+    return rollup_calendar(_metrics(spark, sf_dir), "month")
+
+
 # benchmark set for the contamination screen: docs below this id
 CONTAM_BENCH_MAX_ID = 20
 
@@ -796,6 +845,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shard_manifest": q_shard_manifest,
         "contamination": q_contamination,
         "anomaly_zscore": q_anomaly_zscore,
+        "ewma_smooth": q_ewma_smooth,
+        "latency_percentiles": q_latency_percentiles,
+        "m4_downsample": q_m4_downsample,
+        "rollup_month": q_rollup_month,
         "simhash_pairs": q_simhash_pairs,
         "knn_bruteforce": q_knn_bruteforce,
         "knn_lsh": q_knn_lsh,
@@ -1277,6 +1330,91 @@ SELECT conv_id, window_start_us, value,
 FROM w
 WHERE cnt = {k} AND ({var}) > 0
   AND abs((CAST(value AS DOUBLE) - ({mean})) / sqrt({var})) >= {ANOMALY_TAU}
+"""
+
+
+def _ewma_smooth_sql() -> str:
+    k, a = EWMA_K, EWMA_ALPHA
+    terms = ["CAST(value AS DOUBLE) * 1.0"]
+    wsum = 1.0
+    for j in range(1, k):
+        terms.append(f"CAST(l{j} AS DOUBLE) * {a**j!r}")
+        wsum += a**j
+    num = " + ".join(terms)
+    lags = ",\n         ".join(
+        f"lag(value, {j}) OVER tw AS l{j}" for j in range(1, k)
+    )
+    return f"""
+{_ORACLE_PREFIX},
+t1h AS ({_tier_body_sql('1h')}),
+v AS (SELECT conv_id, window_start_us, sum_tokens AS value FROM t1h),
+w AS (
+  SELECT conv_id, window_start_us, value,
+         {lags}
+  FROM v
+  WINDOW tw AS (PARTITION BY conv_id ORDER BY window_start_us)
+)
+SELECT conv_id, window_start_us, value,
+       round(({num}) / {wsum!r}, 6) AS ewma
+FROM w WHERE l{k - 1} IS NOT NULL
+"""
+
+
+def _latency_percentiles_sql() -> str:
+    return f"""
+{_ORACLE_PREFIX},
+t1h AS ({_tier_body_sql('1h')}),
+v AS (
+  SELECT conv_id,
+         CAST(floor(sum_latency_us / 1000000.0) AS BIGINT) AS lat_s
+  FROM t1h
+)
+SELECT conv_id, count(lat_s) AS n,
+       round(quantile_cont(lat_s, 0.5), 6) AS p50,
+       round(quantile_cont(lat_s, 0.95), 6) AS p95
+FROM v GROUP BY 1
+"""
+
+
+def _m4_downsample_sql() -> str:
+    b = M4_BUCKET_US
+    return f"""
+{_ORACLE_PREFIX},
+t1m AS ({_tier_body_sql('1m')}),
+pts AS (
+  SELECT conv_id, window_start_us AS ts, sum_tokens AS value,
+         CAST(floor(window_start_us / {b}.0) AS BIGINT) * {b}
+           AS bucket_start_us
+  FROM t1m
+),
+ext AS (
+  SELECT conv_id, bucket_start_us,
+         min(ROW(value, ts)) AS vmin, max(ROW(value, ts)) AS vmax,
+         min(ROW(ts, value)) AS tmin, max(ROW(ts, value)) AS tmax
+  FROM pts GROUP BY 1, 2
+)
+SELECT p.conv_id, p.ts, p.value, p.bucket_start_us
+FROM pts p JOIN ext e
+  ON p.conv_id = e.conv_id AND p.bucket_start_us = e.bucket_start_us
+WHERE ROW(p.value, p.ts) = e.vmin OR ROW(p.value, p.ts) = e.vmax
+   OR ROW(p.ts, p.value) = e.tmin OR ROW(p.ts, p.value) = e.tmax
+"""
+
+
+def _rollup_month_sql() -> str:
+    return f"""{_ORACLE_PREFIX}
+SELECT conv_id,
+       epoch_us(date_trunc('month', make_timestamp(ts_us))) AS window_start_us,
+       count(*) AS n_points,
+       count(latency_us) AS n_latency,
+       CAST(sum(latency_us) AS BIGINT) AS sum_latency_us,
+       min(latency_us) AS min_latency_us,
+       max(latency_us) AS max_latency_us,
+       CAST(sum(token_count) AS BIGINT) AS sum_tokens,
+       min(ts_us) AS min_ts_us,
+       max(ts_us) AS max_ts_us,
+       'month' AS tier
+FROM m GROUP BY 1, 2
 """
 
 
@@ -1926,6 +2064,10 @@ SELECT * FROM bad UNION ALL SELECT * FROM good""",
         "shard_manifest": _shard_manifest_sql(),
         "contamination": _contamination_sql(),
         "anomaly_zscore": _anomaly_zscore_sql(),
+        "ewma_smooth": _ewma_smooth_sql(),
+        "latency_percentiles": _latency_percentiles_sql(),
+        "m4_downsample": _m4_downsample_sql(),
+        "rollup_month": _rollup_month_sql(),
         "simhash_pairs": _simhash_pairs_sql(3),
         "knn_bruteforce": _knn_sql(5),
         "knn_lsh": _knn_lsh_sql(5),

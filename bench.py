@@ -62,6 +62,10 @@ SUITE_QUERIES = [
     "token_shards",
     "contamination",
     "anomaly_zscore",
+    "ewma_smooth",
+    "latency_percentiles",
+    "m4_downsample",
+    "rollup_month",
     "simhash_pairs",
     "knn_bruteforce",
     "knn_lsh",

@@ -110,3 +110,40 @@ def derived_point_cols(df: DataFrame, tier: str) -> DataFrame:
         ).alias("avg_latency_us"),
         F.timestamp_micros(F.col("window_start_us")).alias("window_start"),
     )
+
+
+def rollup_calendar(metrics: DataFrame, unit: str = "month") -> DataFrame:
+    """Calendar-aligned rollup tier (week / month / quarter / year).
+
+    Fixed-width epoch windows (the 1m/1h/1d tiers above) cannot express
+    calendar retention policies ("keep monthly aggregates for 7 years") —
+    months are not a fixed number of microseconds. This tier buckets on
+    ``date_trunc`` of the turn timestamp instead of floor-division; the
+    session timezone is pinned UTC, so the truncation is deterministic
+    and identical in any engine. Same integer-domain statistics as the
+    fixed tiers, so cascading/retention logic composes unchanged.
+
+    One hash aggregate on (conv_id, window_start_us) — identical scale
+    shape to rollup_from_turns.
+    """
+    units = {"week", "month", "quarter", "year"}
+    if unit not in units:
+        raise ValueError(f"unit must be one of {sorted(units)}, got {unit!r}")
+    ws = F.unix_micros(
+        F.date_trunc(unit, F.timestamp_micros(F.col("ts_us")))
+    ).alias("window_start_us")
+    return (
+        metrics.select("*", ws)
+        .groupBy("conv_id", "window_start_us")
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.count("latency_us").alias("n_latency"),
+            F.sum("latency_us").alias("sum_latency_us"),
+            F.min("latency_us").alias("min_latency_us"),
+            F.max("latency_us").alias("max_latency_us"),
+            F.sum("token_count").alias("sum_tokens"),
+            F.min("ts_us").alias("min_ts_us"),
+            F.max("ts_us").alias("max_ts_us"),
+        )
+        .withColumn("tier", F.lit(unit))
+    )
