@@ -573,6 +573,40 @@ def q_rollup_month(spark, sf_dir):
     return rollup_calendar(_metrics(spark, sf_dir), "month")
 
 
+TREND_K = 8
+
+
+def q_trend_slope(spark, sf_dir):
+    """Trailing-k OLS trend slope of token sums over the 1h tier
+    (operators/trend.py): integer lag-chain dot products, one final
+    float division — engine-order-proof."""
+    from sac2mseed_spark.operators.trend import trend_slope
+
+    t1h = rollup_from_turns(_metrics(spark, sf_dir), "1h")
+    return trend_slope(t1h, k=TREND_K, value_col="sum_tokens")
+
+
+def q_concurrency_peak(spark, sf_dir):
+    """Peak concurrent conversations per hour (operators/concurrency.py):
+    sweep-line +1/-1 events with a two-pass distributed prefix sum —
+    the scale-safe running total over a global time order."""
+    from sac2mseed_spark.operators.concurrency import (
+        concurrency_series,
+        peak_concurrency,
+    )
+
+    segs = segments(_metrics(spark, sf_dir))
+    return peak_concurrency(concurrency_series(segs))
+
+
+def q_hourly_profile(spark, sf_dir):
+    """Diurnal profile: average tokens/latency by hour-of-day and role
+    (operators/profile.py)."""
+    from sac2mseed_spark.operators.profile import hourly_profile
+
+    return hourly_profile(_metrics(spark, sf_dir))
+
+
 # benchmark set for the contamination screen: docs below this id
 CONTAM_BENCH_MAX_ID = 20
 
@@ -849,6 +883,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "latency_percentiles": q_latency_percentiles,
         "m4_downsample": q_m4_downsample,
         "rollup_month": q_rollup_month,
+        "trend_slope": q_trend_slope,
+        "concurrency_peak": q_concurrency_peak,
+        "hourly_profile": q_hourly_profile,
         "simhash_pairs": q_simhash_pairs,
         "knn_bruteforce": q_knn_bruteforce,
         "knn_lsh": q_knn_lsh,
@@ -1398,6 +1435,86 @@ FROM pts p JOIN ext e
   ON p.conv_id = e.conv_id AND p.bucket_start_us = e.bucket_start_us
 WHERE ROW(p.value, p.ts) = e.vmin OR ROW(p.value, p.ts) = e.vmax
    OR ROW(p.ts, p.value) = e.tmin OR ROW(p.ts, p.value) = e.tmax
+"""
+
+
+def _trend_slope_sql() -> str:
+    k = TREND_K
+    sx = k * (k - 1) // 2
+    sxx = k * (k - 1) * (2 * k - 1) // 6
+    denom = float(k * sxx - sx * sx)
+    lags = ",\n         ".join(
+        f"lag(value, {j}) OVER tw AS l{j}" for j in range(1, k)
+    )
+    sy = " + ".join(["value"] + [f"l{j}" for j in range(1, k)])
+    sxy = " + ".join(
+        [f"value * {k - 1}"]
+        + [f"l{j} * {k - 1 - j}" for j in range(1, k)]
+    )
+    return f"""
+{_ORACLE_PREFIX},
+t1h AS ({_tier_body_sql('1h')}),
+v AS (SELECT conv_id, window_start_us, sum_tokens AS value FROM t1h),
+w AS (
+  SELECT conv_id, window_start_us, value,
+         {lags}
+  FROM v
+  WINDOW tw AS (PARTITION BY conv_id ORDER BY window_start_us)
+)
+SELECT conv_id, window_start_us, value,
+       round(CAST({k} * ({sxy}) - {sx} * ({sy}) AS DOUBLE) / {denom!r}, 6)
+         AS slope
+FROM w WHERE l{k - 1} IS NOT NULL
+"""
+
+
+def _concurrency_peak_sql() -> str:
+    seg_body = """SELECT conv_id, segment_id,
+       min(ts_us) AS seg_start_us, max(ts_us) AS seg_end_us
+FROM seg GROUP BY 1, 2"""
+    return f"""{_ORACLE_PREFIX},
+s AS (
+  SELECT *, CASE WHEN ts_us - lag(ts_us) OVER
+      (PARTITION BY conv_id ORDER BY ts_us, turn_idx) > 1800000000
+    THEN 1 ELSE 0 END AS brk
+  FROM m
+),
+seg AS (
+  SELECT *, CAST(sum(brk) OVER (PARTITION BY conv_id ORDER BY ts_us, turn_idx
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS segment_id
+  FROM s
+),
+spans AS ({seg_body}),
+ev AS (
+  SELECT seg_start_us AS ts_us, 1 AS delta FROM spans
+  UNION ALL
+  SELECT seg_end_us AS ts_us, -1 AS delta FROM spans
+),
+series AS (
+  SELECT ts_us,
+         CAST(sum(delta) OVER (ORDER BY ts_us, -delta
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS active
+  FROM ev
+)
+SELECT CAST(floor(ts_us / 3600000000.0) AS BIGINT) * 3600000000
+         AS window_start_us,
+       max(active) AS peak_active
+FROM series GROUP BY 1
+"""
+
+
+def _hourly_profile_sql() -> str:
+    return f"""{_ORACLE_PREFIX}
+SELECT CAST(hour(make_timestamp(ts_us)) AS INTEGER) AS hour, role,
+       count(*) AS n_turns,
+       CAST(sum(token_count) AS BIGINT) AS sum_tokens,
+       round(sum(token_count) / count(*), 6) AS avg_tokens,
+       round(CASE WHEN count(latency_us) > 0
+             THEN CAST(sum(latency_us) AS BIGINT) / count(latency_us)
+                  / 1000000.0 END, 6)
+         AS avg_latency_s
+FROM m GROUP BY 1, 2
 """
 
 
@@ -2068,6 +2185,9 @@ SELECT * FROM bad UNION ALL SELECT * FROM good""",
         "latency_percentiles": _latency_percentiles_sql(),
         "m4_downsample": _m4_downsample_sql(),
         "rollup_month": _rollup_month_sql(),
+        "trend_slope": _trend_slope_sql(),
+        "concurrency_peak": _concurrency_peak_sql(),
+        "hourly_profile": _hourly_profile_sql(),
         "simhash_pairs": _simhash_pairs_sql(3),
         "knn_bruteforce": _knn_sql(5),
         "knn_lsh": _knn_lsh_sql(5),

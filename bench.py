@@ -66,6 +66,9 @@ SUITE_QUERIES = [
     "latency_percentiles",
     "m4_downsample",
     "rollup_month",
+    "trend_slope",
+    "concurrency_peak",
+    "hourly_profile",
     "simhash_pairs",
     "knn_bruteforce",
     "knn_lsh",
