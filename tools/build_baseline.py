@@ -425,8 +425,17 @@ the §0 triad envelope for a partially memory-bound kernel.
   round (symmetric IO), and a 2 s phase-tagged /proc/stat sampler
   recording the whole session (BENCH/phases/diag_<pair>.json) — the
   round-4 verdict's methodology items, all implemented.
-- Leg validity = leg steal <= 2% AND a settled (20 s) post-leg 4-proc
-  ALU re-probe within 85% of window-open. The in-leg ALU sidecar is
+- Leg validity = leg steal <= 2% AND a settled post-leg 4-proc ALU
+  re-probe within 85% of window-open. The probe re-tries on a 45 s
+  backoff up to 360 s of settle, publishing post_leg_alu_recovery_s:
+  tearing down a full-box leg's 8 x 12g pre-touched heaps (96 GiB)
+  measurably suppresses the probe for ~3 min — pair p0818_2153's 4N
+  leg (108.1s, the fastest ever) read 24.5 Mops at +20 s and fully
+  recovered (43.4) at +185 s. Before the recovery loop existed, two
+  clean-band 4N legs (p0818_1547 164.7s, p0818_2128 123.9s) were
+  VOIDed by this teardown artifact — their walls stand in the table
+  as replication evidence but stay unscored (conservative).
+  The in-leg ALU sidecar is
   recorded as a diagnostic but does NOT void legs: every Spark 4N leg
   endogenously starves an idle-core ALU loop to 0.10-0.18x (JVM
   mmap/page-cache/TLB traffic) while its wall replicates to 0.5%
