@@ -607,6 +607,23 @@ def q_hourly_profile(spark, sf_dir):
     return hourly_profile(_metrics(spark, sf_dir))
 
 
+BURST_WINDOW_US = 86_400_000_000  # trailing 1 day (corpus averages
+BURST_MIN_EVENTS = 6              # ~2.8 turns/day; >=6 is a real burst)
+
+
+def q_burst_detect(spark, sf_dir):
+    """Turns whose trailing-1d in-conversation turn count reaches the
+    burst threshold (operators/rate.py): time-RANGE frame window, exact
+    on the irregular grid."""
+    from sac2mseed_spark.operators.rate import bursts
+
+    return bursts(
+        _metrics(spark, sf_dir),
+        window_us=BURST_WINDOW_US,
+        min_events=BURST_MIN_EVENTS,
+    )
+
+
 # benchmark set for the contamination screen: docs below this id
 CONTAM_BENCH_MAX_ID = 20
 
@@ -886,6 +903,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trend_slope": q_trend_slope,
         "concurrency_peak": q_concurrency_peak,
         "hourly_profile": q_hourly_profile,
+        "burst_detect": q_burst_detect,
         "simhash_pairs": q_simhash_pairs,
         "knn_bruteforce": q_knn_bruteforce,
         "knn_lsh": q_knn_lsh,
@@ -1501,6 +1519,22 @@ SELECT CAST(floor(ts_us / 3600000000.0) AS BIGINT) * 3600000000
          AS window_start_us,
        max(active) AS peak_active
 FROM series GROUP BY 1
+"""
+
+
+def _burst_detect_sql() -> str:
+    w, k = BURST_WINDOW_US, BURST_MIN_EVENTS
+    per_min = 60_000_000.0 / float(w)
+    return f"""{_ORACLE_PREFIX},
+r AS (
+  SELECT conv_id, ts_us,
+         count(*) OVER (PARTITION BY conv_id ORDER BY ts_us
+           RANGE BETWEEN {w} PRECEDING AND CURRENT ROW) AS n_in_window
+  FROM m
+)
+SELECT conv_id, ts_us, n_in_window,
+       round(n_in_window * {per_min!r}, 6) AS rate_per_min
+FROM r WHERE n_in_window >= {k}
 """
 
 
@@ -2188,6 +2222,7 @@ SELECT * FROM bad UNION ALL SELECT * FROM good""",
         "trend_slope": _trend_slope_sql(),
         "concurrency_peak": _concurrency_peak_sql(),
         "hourly_profile": _hourly_profile_sql(),
+        "burst_detect": _burst_detect_sql(),
         "simhash_pairs": _simhash_pairs_sql(3),
         "knn_bruteforce": _knn_sql(5),
         "knn_lsh": _knn_lsh_sql(5),

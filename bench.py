@@ -69,6 +69,7 @@ SUITE_QUERIES = [
     "trend_slope",
     "concurrency_peak",
     "hourly_profile",
+    "burst_detect",
     "simhash_pairs",
     "knn_bruteforce",
     "knn_lsh",
