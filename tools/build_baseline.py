@@ -161,6 +161,30 @@ NOT MEASURED on the current fixture ({busy} busy cores at 4N;
                 " property this variant probes is measured inside the"
                 " envelope by the 2-core gate above."
             )
+            # pairs measured under the teardown-aware recovery protocol
+            # (post_leg_alu_recovery_s present on the 4N leg) — these are
+            # free of the probe artifact that voided clean-band legs
+            recent = [
+                p
+                for p in valid
+                if p["x"].get("post_leg_alu_recovery_s") is not None
+            ]
+            if len(recent) >= 2:
+                reff = sorted(p["eff"] for p in recent)
+                rw = sorted(p["x"]["wall_s"] for p in recent)
+                lines.append("")
+                lines.append(
+                    f"Under the recovery-loop probe protocol"
+                    f" ({len(recent)} pairs:"
+                    f" {', '.join(p['pair_id'] for p in recent)}) the"
+                    f" paired efficiency replicates at"
+                    f" **{reff[0]}-{reff[-1]}** with 4N walls"
+                    f" {rw[0]}-{rw[-1]}s — the tight band the old"
+                    f" schedule's teardown artifact was hiding; the"
+                    f" historical 0.12-0.26 lows all carry episode-class"
+                    f" 4N legs (2.5-4x the clean replications on zero"
+                    f" steal)."
+                )
         elif valid:
             effs = sorted(p["eff"] for p in valid)
             med = effs[len(effs) // 2] if len(effs) % 2 else round(
