@@ -303,3 +303,74 @@ def tier_sink(
     if trigger_available_now:
         w = w.trigger(availableNow=True)
     return w.start()
+
+
+def stream_burst_detect(
+    transcripts: DataFrame,
+    window_us: int = 86_400_000_000,
+    min_events: int = 6,
+) -> DataFrame:
+    """Streaming twin of operators/rate.bursts via applyInPandasWithState.
+
+    Per conv_id the state carries the trailing-window timestamps (pruned
+    to [max_ts - window_us, max_ts], so state size is bounded by the
+    burst density x window, never conversation length). Each micro-batch
+    recomputes trailing counts with searchsorted over state + batch
+    timestamps: n(ts) = |events in [ts - window_us, ts]| (closed both
+    ends) including equal-timestamp PEERS that arrive in the same batch
+    — the exact RANGE-frame semantics of the batch operator, so on
+    append-ordered delivery
+    the emitted rows equal ``bursts()`` over the same data
+    (tests/test_streaming.py asserts set equality vs batch).
+
+    Late rows that time-travel behind the carried horizon would
+    under-count; like stream_metrics_stateful, such conversations belong
+    to the batch heal path — the detector here only ever sees appends.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    if window_us <= 0:
+        raise ValueError(f"window_us must be positive, got {window_us}")
+    if min_events < 1:
+        raise ValueError(f"min_events must be >= 1, got {min_events}")
+
+    out_schema = "conv_id string, ts_us long, n_in_window long"
+    state_schema = "recent array<long>"
+
+    def fn(key, pdfs, state: GroupState):
+        conv_id = key[0]
+        parts = [p for p in pdfs if len(p)]
+        if not parts:
+            return
+        batch_ts = np.sort(
+            np.concatenate([p["ts_us"].to_numpy(np.int64) for p in parts])
+        )
+        prior = (
+            np.asarray(state.get[0], dtype=np.int64)
+            if state.exists
+            else np.empty(0, dtype=np.int64)
+        )
+        all_ts = np.concatenate([prior, batch_ts])
+        all_ts.sort(kind="stable")
+        # n(ts) over [ts - window_us, ts] — closed both ends, peers
+        # included (matches rangeBetween(-window_us, 0))
+        hi = np.searchsorted(all_ts, batch_ts, side="right")
+        lo = np.searchsorted(all_ts, batch_ts - window_us, side="left")
+        n = hi - lo
+        horizon = int(all_ts[-1]) - window_us
+        state.update((all_ts[all_ts >= horizon].tolist(),))
+        keep = n >= min_events
+        if keep.any():
+            yield pd.DataFrame(
+                {
+                    "conv_id": conv_id,
+                    "ts_us": batch_ts[keep],
+                    "n_in_window": n[keep],
+                }
+            )
+
+    return transcripts.groupBy("conv_id").applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
