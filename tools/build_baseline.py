@@ -153,37 +153,44 @@ NOT MEASURED on the current fixture ({busy} busy cores at 4N;
             lines.extend(stage_rows)
             lines.append("")
             lines.append(
-                "Only the DRAM-streaming metrics stage disperses"
-                " (cascade/pack replicate near the concurrency-ladder clean"
-                " values in the faster legs): the 4N leg measures the"
-                " host's time-varying memory capacity at 32 busy cores, a"
-                " quantity no real 8-node cluster shares. The engine"
-                " property this variant probes is measured inside the"
-                " envelope by the 2-core gate above."
+                "The dispersion is TIME-correlated, not stage-specific:"
+                " every dispersed 4N leg decomposes into some stages at"
+                " their clean replication values and others inflated"
+                " 3-5x, and WHICH stage inflates varies by leg (metrics"
+                " in p0818_1309, pack in p0818_2246, everything in the"
+                " 400s-class legs) — a host capacity episode striking"
+                " whatever happens to be running, on zero steal. Clean"
+                " per-stage walls replicate to a few percent across"
+                " windows (and match the concurrency ladder), so the 4N"
+                " leg measures the host's time-varying memory capacity"
+                " at 32 busy cores, a quantity no real 8-node cluster"
+                " shares. The engine property this variant probes is"
+                " measured inside the envelope by the 2-core gate above."
             )
-            # pairs measured under the teardown-aware recovery protocol
-            # (post_leg_alu_recovery_s present on the 4N leg) — these are
-            # free of the probe artifact that voided clean-band legs
-            recent = [
+            # upper envelope over legs that dodged episodes: pairs whose
+            # 4N stage walls ALL sit in the clean replication band
+            clean_w = {"metrics": 80, "cascade": 25, "pack": 50}
+            clean = [
                 p
                 for p in valid
-                if p["x"].get("post_leg_alu_recovery_s") is not None
+                if all(
+                    (p["x"]["stages"].get(s) or 1e9) <= clean_w[s]
+                    for s in clean_w
+                )
             ]
-            if len(recent) >= 2:
-                reff = sorted(p["eff"] for p in recent)
-                rw = sorted(p["x"]["wall_s"] for p in recent)
+            if clean:
+                ceff = sorted(p["eff"] for p in clean)
+                cw = sorted(p["x"]["wall_s"] for p in clean)
                 lines.append("")
                 lines.append(
-                    f"Under the recovery-loop probe protocol"
-                    f" ({len(recent)} pairs:"
-                    f" {', '.join(p['pair_id'] for p in recent)}) the"
-                    f" paired efficiency replicates at"
-                    f" **{reff[0]}-{reff[-1]}** with 4N walls"
-                    f" {rw[0]}-{rw[-1]}s — the tight band the old"
-                    f" schedule's teardown artifact was hiding; the"
-                    f" historical 0.12-0.26 lows all carry episode-class"
-                    f" 4N legs (2.5-4x the clean replications on zero"
-                    f" steal)."
+                    f"Episode-free pairs (every 4N stage inside the clean"
+                    f" replication band; {len(clean)}:"
+                    f" {', '.join(p['pair_id'] for p in clean)}) score"
+                    f" **{ceff[0]}-{ceff[-1]}** with 4N walls"
+                    f" {cw[0]}-{cw[-1]}s — the box's repeatable full-width"
+                    f" ceiling; episode-struck pairs fall anywhere below"
+                    f" it depending on how much of the leg the episode"
+                    f" covered."
                 )
         elif valid:
             effs = sorted(p["eff"] for p in valid)
