@@ -624,6 +624,14 @@ def q_burst_detect(spark, sf_dir):
     )
 
 
+def q_role_transitions(spark, sf_dir):
+    """Role-transition Markov matrix (operators/transitions.py): lag over
+    the stable turn order, two integer aggregates, broadcast totals."""
+    from sac2mseed_spark.operators.transitions import role_transitions
+
+    return role_transitions(_metrics(spark, sf_dir))
+
+
 # benchmark set for the contamination screen: docs below this id
 CONTAM_BENCH_MAX_ID = 20
 
@@ -904,6 +912,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "concurrency_peak": q_concurrency_peak,
         "hourly_profile": q_hourly_profile,
         "burst_detect": q_burst_detect,
+        "role_transitions": q_role_transitions,
         "simhash_pairs": q_simhash_pairs,
         "knn_bruteforce": q_knn_bruteforce,
         "knn_lsh": q_knn_lsh,
@@ -1519,6 +1528,22 @@ SELECT CAST(floor(ts_us / 3600000000.0) AS BIGINT) * 3600000000
          AS window_start_us,
        max(active) AS peak_active
 FROM series GROUP BY 1
+"""
+
+
+def _role_transitions_sql() -> str:
+    return f"""{_ORACLE_PREFIX},
+e AS (
+  SELECT coalesce(lag(role) OVER
+           (PARTITION BY conv_id ORDER BY turn_idx, ts_us), '<start>')
+           AS prev_role,
+         role
+  FROM m
+),
+c AS (SELECT prev_role, role, count(*) AS n FROM e GROUP BY 1, 2),
+t AS (SELECT prev_role, sum(n) AS tot FROM c GROUP BY 1)
+SELECT c.prev_role, c.role, c.n, round(c.n / t.tot, 6) AS p
+FROM c JOIN t ON c.prev_role = t.prev_role
 """
 
 
@@ -2223,6 +2248,7 @@ SELECT * FROM bad UNION ALL SELECT * FROM good""",
         "concurrency_peak": _concurrency_peak_sql(),
         "hourly_profile": _hourly_profile_sql(),
         "burst_detect": _burst_detect_sql(),
+        "role_transitions": _role_transitions_sql(),
         "simhash_pairs": _simhash_pairs_sql(3),
         "knn_bruteforce": _knn_sql(5),
         "knn_lsh": _knn_lsh_sql(5),

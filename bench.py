@@ -70,6 +70,7 @@ SUITE_QUERIES = [
     "concurrency_peak",
     "hourly_profile",
     "burst_detect",
+    "role_transitions",
     "simhash_pairs",
     "knn_bruteforce",
     "knn_lsh",
