@@ -624,6 +624,19 @@ def q_burst_detect(spark, sf_dir):
     )
 
 
+SALIENT_K = 3
+
+
+def q_salient_terms(spark, sf_dir):
+    """Top-3 salient terms per document by the log-free tf * N/df score
+    (operators/tfidf.py): rational salience keeps the floats exact and
+    engine-identical where ln would differ in the last ulp."""
+    from sac2mseed_spark.operators.tfidf import salient_terms
+
+    docs = load_table(spark, sf_dir, "documents")
+    return salient_terms(docs, k=SALIENT_K)
+
+
 def q_role_transitions(spark, sf_dir):
     """Role-transition Markov matrix (operators/transitions.py): lag over
     the stable turn order, two integer aggregates, broadcast totals."""
@@ -913,6 +926,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hourly_profile": q_hourly_profile,
         "burst_detect": q_burst_detect,
         "role_transitions": q_role_transitions,
+        "salient_terms": q_salient_terms,
         "simhash_pairs": q_simhash_pairs,
         "knn_bruteforce": q_knn_bruteforce,
         "knn_lsh": q_knn_lsh,
@@ -1528,6 +1542,33 @@ SELECT CAST(floor(ts_us / 3600000000.0) AS BIGINT) * 3600000000
          AS window_start_us,
        max(active) AS peak_active
 FROM series GROUP BY 1
+"""
+
+
+def _salient_terms_sql() -> str:
+    toks = _TOKENS_SQL.format(t="text")
+    return f"""
+WITH terms AS (
+  SELECT doc_id AS doc, unnest({toks}) AS term FROM documents
+),
+ft AS (SELECT doc, term FROM terms WHERE lower(term) NOT IN
+       (SELECT unnest({_STOPWORDS_SQL}))),
+tf AS (SELECT doc, term, count(*) AS tf FROM ft GROUP BY 1, 2),
+dfq AS (SELECT term, count(DISTINCT doc) AS df FROM ft GROUP BY 1),
+n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc, tf.term, tf.tf, dfq.df,
+         round(CAST(tf.tf AS DOUBLE) * (SELECT n_docs FROM n) / dfq.df, 6)
+           AS score
+  FROM tf JOIN dfq ON tf.term = dfq.term
+),
+r AS (
+  SELECT *, CAST(row_number() OVER
+           (PARTITION BY doc ORDER BY score DESC, term ASC) AS INTEGER)
+           AS rank
+  FROM scored
+)
+SELECT doc, term, tf, df, score, rank FROM r WHERE rank <= {SALIENT_K}
 """
 
 
@@ -2249,6 +2290,7 @@ SELECT * FROM bad UNION ALL SELECT * FROM good""",
         "hourly_profile": _hourly_profile_sql(),
         "burst_detect": _burst_detect_sql(),
         "role_transitions": _role_transitions_sql(),
+        "salient_terms": _salient_terms_sql(),
         "simhash_pairs": _simhash_pairs_sql(3),
         "knn_bruteforce": _knn_sql(5),
         "knn_lsh": _knn_lsh_sql(5),

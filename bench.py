@@ -71,6 +71,7 @@ SUITE_QUERIES = [
     "hourly_profile",
     "burst_detect",
     "role_transitions",
+    "salient_terms",
     "simhash_pairs",
     "knn_bruteforce",
     "knn_lsh",
