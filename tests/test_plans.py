@@ -1,0 +1,85 @@
+"""Physical-plan regression gates: the shapes the 100 TB story depends on.
+
+Timing tests can't catch a silently-degraded plan at sf0.001; these
+assert the plan PROPERTIES directly — broadcast vs sort-merge joins,
+parquet filter pushdown, column pruning, absence of cartesian products —
+so a refactor that keeps results correct but loses the scale shape
+fails loudly.
+"""
+
+import re
+
+import pytest
+
+import __spark_entry__ as E
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(spark, key: str) -> str:
+    df = E.queries()[key](spark, SF)
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+
+
+def test_no_cartesian_products_anywhere(spark):
+    # every query in the suite must be free of cartesian/nested-loop joins
+    offenders = []
+    for key in E.queries():
+        plan = _plan(spark, key)
+        if "CartesianProduct" in plan or "BroadcastNestedLoopJoin" in plan:
+            offenders.append(key)
+    assert offenders == [], f"cartesian/nested-loop joins in: {offenders}"
+
+
+def test_m4_join_is_broadcast_not_sortmerge(spark):
+    plan = _plan(spark, "m4_downsample")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_physical_filter_pushdown_reaches_scan(spark):
+    # contamination's benchmark set is doc_id < K on a PHYSICAL parquet
+    # column — that predicate must reach the scan. (The transcripts
+    # queries filter DERIVED columns (conv_id is computed from events),
+    # where pushdown is impossible by design; the 100 TB deployment
+    # materializes transcripts, making those prunable too.)
+    plan = _plan(spark, "contamination")
+    m = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert m, "no PushedFilters in any scan"
+    assert any("doc_id" in p for p in m), m
+
+
+def test_text_quality_scan_prunes_columns(spark):
+    # text_quality touches doc_id/text only; the documents scan must not
+    # read lang/source
+    plan = _plan(spark, "text_quality")
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m, "no ReadSchema in scan"
+    read_cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
+    assert "lang" not in read_cols, read_cols
+
+
+def test_knn_bruteforce_broadcasts_queries(spark):
+    plan = _plan(spark, "knn_bruteforce")
+    assert "SortMergeJoin" not in plan
+
+
+def test_rollup_single_aggregate_exchange(spark):
+    # rollup_1m: partial + final hash aggregate around ONE exchange —
+    # no window sort, no extra shuffle
+    plan = _plan(spark, "rollup_1m")
+    # the metrics lag window contributes one exchange; the groupBy the
+    # other. More means a lost co-partitioning.
+    n_ex = len(re.findall(r"\(\d+\) Exchange", plan))
+    assert n_ex <= 2, f"rollup_1m plan has {n_ex} exchanges"
+    assert "HashAggregate" in plan
+
+
+def test_asof_attribution_single_shuffle_no_range_join(spark):
+    plan = _plan(spark, "asof_attribution")
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan  # union+window form, not a join
