@@ -877,6 +877,35 @@ def entry(spark: SparkSession) -> DataFrame:
     return q_tier_derived_1h(spark, "/root/testdata/sf0.001")
 
 
+def q_counter_rate(spark, sf_dir):
+    """PromQL-style reset-aware counter increase/rate over the running
+    within-segment token counter (operators/counters.py): the counter
+    climbs turn-by-turn and resets at every session boundary, and the
+    operator recovers the true increase across resets."""
+    from sac2mseed_spark.operators.counters import counter_rate
+
+    return counter_rate(_metrics(spark, sf_dir))
+
+
+def q_distinct_kmv(spark, sf_dir):
+    """K-minimum-values distinct-conversation sketch per hour window
+    (operators/sketch.py) next to the exact count it estimates — the
+    engine-portable cardinality sketch (md5-hash order statistic, one
+    IEEE division; no float log boundaries)."""
+    from sac2mseed_spark.operators.sketch import kmv_distinct
+
+    return kmv_distinct(_metrics(spark, sf_dir))
+
+
+def q_burstiness(spark, sf_dir):
+    """Inter-arrival CV^2 + per-minute Fano factor per conversation
+    (operators/burstiness.py) — point-process burstiness from exact
+    integer sums with one final float expression per statistic."""
+    from sac2mseed_spark.operators.burstiness import burstiness
+
+    return burstiness(_metrics(spark, sf_dir))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "transcripts": q_transcripts,
@@ -937,6 +966,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tiered_serve": q_tiered_serve,
         "dedup_embedding": q_dedup_embedding,
         "multimodal_features": q_multimodal_features,
+        "counter_rate": q_counter_rate,
+        "distinct_kmv": q_distinct_kmv,
+        "burstiness": q_burstiness,
     }
 
 
@@ -2166,6 +2198,104 @@ FROM d
 """
 
 
+def _counter_rate_sql() -> str:
+    inc = (
+        "CASE WHEN counter >= prev_counter THEN counter - prev_counter "
+        "ELSE counter END"
+    )
+    return f"""{_ORACLE_PREFIX},
+s AS (
+  SELECT *, CASE WHEN ts_us - lag(ts_us) OVER
+      (PARTITION BY conv_id ORDER BY ts_us, turn_idx) > 1800000000
+    THEN 1 ELSE 0 END AS brk
+  FROM m
+),
+seg AS (
+  SELECT *, CAST(sum(brk) OVER (PARTITION BY conv_id ORDER BY ts_us, turn_idx
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS segment_id
+  FROM s
+),
+c AS (
+  SELECT conv_id, turn_idx, ts_us,
+         CAST(sum(token_count) OVER (PARTITION BY conv_id, segment_id
+           ORDER BY ts_us, turn_idx
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS counter
+  FROM seg
+),
+p AS (
+  SELECT *, lag(counter) OVER w AS prev_counter,
+         lag(ts_us) OVER w AS prev_ts_us
+  FROM c WINDOW w AS (PARTITION BY conv_id ORDER BY ts_us, turn_idx)
+)
+SELECT conv_id, turn_idx, ts_us, counter,
+       {inc} AS increase,
+       CASE WHEN ts_us - prev_ts_us > 0
+            THEN round(({inc}) * 60000000.0 / (ts_us - prev_ts_us), 6)
+       END AS rate_per_min
+FROM p WHERE prev_counter IS NOT NULL"""
+
+
+def _distinct_kmv_sql(k: int, window_us: int) -> str:
+    kth = f"max(CASE WHEN rk = {k} THEN h END)"
+    space = float(2**60)
+    return f"""{_ORACLE_PREFIX},
+d AS (
+  SELECT DISTINCT CAST(floor(ts_us / {window_us}.0) AS BIGINT) * {window_us}
+           AS window_start_us, conv_id
+  FROM m
+),
+h AS (SELECT window_start_us, {h60_sql('conv_id')} AS h, conv_id FROM d),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY window_start_us
+    ORDER BY h, conv_id) AS rk
+  FROM h
+)
+SELECT window_start_us, count(*) AS n_exact, {kth} AS kth_hash,
+       round(CASE WHEN {kth} IS NULL THEN CAST(count(*) AS DOUBLE)
+             ELSE {float(k - 1)} * {space!r} / CAST({kth} AS DOUBLE) END, 4)
+         AS n_kmv_est
+FROM r GROUP BY 1"""
+
+
+def _burstiness_sql() -> str:
+    nwin = "CAST((last_win_us - first_win_us) / 60000000 + 1 AS DOUBLE)"
+    return f"""{_ORACLE_PREFIX},
+g0 AS (
+  SELECT conv_id,
+         CAST(floor((ts_us - lag(ts_us) OVER (PARTITION BY conv_id
+           ORDER BY ts_us, turn_idx)) / 1000000.0) AS BIGINT) AS gap_s
+  FROM m
+),
+g AS (
+  SELECT conv_id, count(*) AS n_turns, count(gap_s) AS n_gaps,
+         CAST(sum(gap_s) AS BIGINT) AS sum_gap_s,
+         CAST(sum(gap_s * gap_s) AS BIGINT) AS sum_gap_sq
+  FROM g0 GROUP BY 1
+),
+t AS (
+  SELECT conv_id, CAST(floor(ts_us / 60000000.0) AS BIGINT) * 60000000 AS w,
+         count(*) AS c
+  FROM m GROUP BY 1, 2
+),
+tc AS (
+  SELECT conv_id, CAST(sum(c) AS BIGINT) AS n_pts,
+         CAST(sum(c * c) AS BIGINT) AS sum_cnt_sq,
+         min(w) AS first_win_us, max(w) AS last_win_us
+  FROM t GROUP BY 1
+)
+SELECT g.conv_id, n_turns, n_gaps, sum_gap_s,
+       CASE WHEN n_gaps >= 2 AND sum_gap_s > 0 THEN
+         round((CAST(n_gaps AS DOUBLE) * CAST(sum_gap_sq AS DOUBLE)
+                - CAST(sum_gap_s * sum_gap_s AS DOUBLE))
+               / CAST(sum_gap_s * sum_gap_s AS DOUBLE), 6)
+       END AS cv2,
+       round(({nwin} * CAST(sum_cnt_sq AS DOUBLE)
+              - CAST(n_pts * n_pts AS DOUBLE))
+             / ({nwin} * CAST(n_pts AS DOUBLE)), 6) AS fano
+FROM g JOIN tc ON g.conv_id = tc.conv_id"""
+
+
 def oracle_sql() -> dict[str, str]:
     lo, hi = 1_704_067_200_000_000, 1_704_240_000_000_000
     return {
@@ -2301,4 +2431,7 @@ SELECT * FROM bad UNION ALL SELECT * FROM good""",
         "tiered_serve": _tiered_serve_sql(),
         "dedup_embedding": _embedding_dup_sql(0.4),
         "multimodal_features": _multimodal_sql(),
+        "counter_rate": _counter_rate_sql(),
+        "distinct_kmv": _distinct_kmv_sql(64, 3_600_000_000),
+        "burstiness": _burstiness_sql(),
     }

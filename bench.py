@@ -78,6 +78,9 @@ SUITE_QUERIES = [
     "knn_ivf",
     "rat_approx",
     "multimodal_features",
+    "counter_rate",
+    "distinct_kmv",
+    "burstiness",
 ]
 
 
