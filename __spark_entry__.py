@@ -877,6 +877,25 @@ def entry(spark: SparkSession) -> DataFrame:
     return q_tier_derived_1h(spark, "/root/testdata/sf0.001")
 
 
+def q_interval_overlap(spark, sf_dir):
+    """Bucketed interval-overlap join (operators/rangejoin.py): session
+    segments x hot "incident" hours (global count > 1.5x hourly mean),
+    exploded to hour buckets so the overlap is an equi-join, never a
+    nested-loop range product."""
+    from sac2mseed_spark.operators.rangejoin import interval_overlap
+
+    return interval_overlap(_metrics(spark, sf_dir))
+
+
+def q_latency_histogram(spark, sf_dir):
+    """Log2-bucket latency histogram per role (operators/histogram.py):
+    bucket index from integer bit length (length(bin(x))-1), never
+    float log2 — exact at power-of-2 boundaries in both engines."""
+    from sac2mseed_spark.operators.histogram import latency_histogram
+
+    return latency_histogram(_metrics(spark, sf_dir))
+
+
 def q_counter_rate(spark, sf_dir):
     """PromQL-style reset-aware counter increase/rate over the running
     within-segment token counter (operators/counters.py): the counter
@@ -969,6 +988,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "counter_rate": q_counter_rate,
         "distinct_kmv": q_distinct_kmv,
         "burstiness": q_burstiness,
+        "interval_overlap": q_interval_overlap,
+        "latency_histogram": q_latency_histogram,
     }
 
 
@@ -2198,6 +2219,66 @@ FROM d
 """
 
 
+def _interval_overlap_sql(factor: float) -> str:
+    return f"""{_ORACLE_PREFIX},
+s AS (
+  SELECT *, CASE WHEN ts_us - lag(ts_us) OVER
+      (PARTITION BY conv_id ORDER BY ts_us, turn_idx) > 1800000000
+    THEN 1 ELSE 0 END AS brk
+  FROM m
+),
+seg0 AS (
+  SELECT *, CAST(sum(brk) OVER (PARTITION BY conv_id ORDER BY ts_us, turn_idx
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS segment_id
+  FROM s
+),
+seg AS (
+  SELECT conv_id, segment_id, min(ts_us) AS seg_start_us,
+         max(ts_us) AS seg_end_us
+  FROM seg0 GROUP BY 1, 2
+),
+ph AS (
+  SELECT CAST(floor(ts_us / 3600000000.0) AS BIGINT) * 3600000000 AS hour_us,
+         count(*) AS n_turns_hour
+  FROM m GROUP BY 1
+),
+inc AS (
+  SELECT hour_us, n_turns_hour FROM ph
+  WHERE CAST(n_turns_hour AS DOUBLE) >
+    (SELECT CAST(sum(n_turns_hour) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+            * {factor} FROM ph)
+)
+SELECT conv_id, segment_id, seg_start_us, seg_end_us,
+       count(*) AS n_inc_hours,
+       CAST(sum(n_turns_hour) AS BIGINT) AS inc_turns
+FROM seg JOIN inc
+  ON inc.hour_us BETWEEN
+       CAST(floor(seg_start_us / 3600000000.0) AS BIGINT) * 3600000000
+   AND CAST(floor(seg_end_us / 3600000000.0) AS BIGINT) * 3600000000
+GROUP BY 1, 2, 3, 4"""
+
+
+def _latency_histogram_sql() -> str:
+    return f"""{_ORACLE_PREFIX},
+l AS (
+  SELECT role, CAST(floor(latency_us / 1000000.0) AS BIGINT) AS lat_s
+  FROM m WHERE latency_us IS NOT NULL AND latency_us >= 0
+),
+b AS (
+  SELECT role, lat_s,
+         CASE WHEN lat_s = 0 THEN -1
+              ELSE CAST(length(bin(lat_s)) - 1 AS INTEGER) END AS bucket
+  FROM l
+)
+SELECT role, bucket,
+       CASE WHEN bucket < 0 THEN 0
+            ELSE CAST(power(2.0, CAST(bucket AS DOUBLE)) AS BIGINT) END AS lo_s,
+       CAST(power(2.0, CAST(bucket + 1 AS DOUBLE)) AS BIGINT) - 1 AS hi_s,
+       count(*) AS n, min(lat_s) AS min_lat_s, max(lat_s) AS max_lat_s,
+       CAST(sum(lat_s) AS BIGINT) AS sum_lat_s
+FROM b GROUP BY 1, 2"""
+
+
 def _counter_rate_sql() -> str:
     inc = (
         "CASE WHEN counter >= prev_counter THEN counter - prev_counter "
@@ -2434,4 +2515,6 @@ SELECT * FROM bad UNION ALL SELECT * FROM good""",
         "counter_rate": _counter_rate_sql(),
         "distinct_kmv": _distinct_kmv_sql(64, 3_600_000_000),
         "burstiness": _burstiness_sql(),
+        "interval_overlap": _interval_overlap_sql(1.5),
+        "latency_histogram": _latency_histogram_sql(),
     }

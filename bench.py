@@ -81,6 +81,8 @@ SUITE_QUERIES = [
     "counter_rate",
     "distinct_kmv",
     "burstiness",
+    "interval_overlap",
+    "latency_histogram",
 ]
 
 
