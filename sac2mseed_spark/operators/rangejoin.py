@@ -25,7 +25,7 @@ from a single scan each.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .sessionize import DEFAULT_GAP_TOLERANCE_US, segments
@@ -44,16 +44,22 @@ def incident_hours(metrics: DataFrame, factor: float = INCIDENT_FACTOR) -> DataF
     per_hour = metrics.select(hour).groupBy("hour_us").agg(
         F.count(F.lit(1)).alias("n_turns_hour")
     )
-    thresh = per_hour.agg(
-        (
-            F.sum("n_turns_hour").cast("double")
-            / F.count(F.lit(1)).cast("double")
-            * F.lit(float(factor))
-        ).alias("t")
+    # global-mean threshold as an empty-frame window, NOT a 1-row
+    # crossJoin (which Catalyst plans as BroadcastNestedLoopJoin — the
+    # plan gate forbids NLJ shapes outright). The single-partition
+    # exchange this costs is over the per-HOUR table: one row per hour
+    # of fleet history (~9k/year), negligible at any data scale.
+    w = Window.partitionBy()
+    t = (
+        F.sum("n_turns_hour").over(w).cast("double")
+        / F.count(F.lit(1)).over(w).cast("double")
+        * F.lit(float(factor))
     )
-    return per_hour.crossJoin(F.broadcast(thresh)).filter(
-        F.col("n_turns_hour").cast("double") > F.col("t")
-    ).select("hour_us", "n_turns_hour")
+    return (
+        per_hour.withColumn("__t", t)
+        .filter(F.col("n_turns_hour").cast("double") > F.col("__t"))
+        .select("hour_us", "n_turns_hour")
+    )
 
 
 def interval_overlap(
