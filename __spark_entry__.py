@@ -925,6 +925,65 @@ def q_burstiness(spark, sf_dir):
     return burstiness(_metrics(spark, sf_dir))
 
 
+# shared parameters for the ACF / CUSUM / seasonal-naive / SAX queries
+ACF_LAGS = (1, 2, 3)
+ACF_MIN_PAIRS = 8
+CUSUM_TAU = 1.0
+SEASON_US = 86_400_000_000  # 1-day season over the 1h tier
+
+
+def q_autocorr(spark, sf_dir):
+    """Lag-1/2/3 autocorrelation of per-hour token sums per conversation
+    (operators/autocorr.py): all covariance pieces are exact integer
+    sums; one canonical float expression mirrored in the oracle."""
+    from sac2mseed_spark.operators.autocorr import autocorrelation
+
+    t1h = rollup_from_turns(_metrics(spark, sf_dir), "1h")
+    return autocorrelation(t1h, lags=ACF_LAGS, min_pairs=ACF_MIN_PAIRS)
+
+
+def q_changepoint_cusum(spark, sf_dir):
+    """CUSUM level-shift changepoint per conversation over the 1h token
+    series (operators/changepoint.py): integer prefix sums make the
+    bridge floats bit-identical across engines; argmax row selected by
+    (|D| desc, window asc) — identical doubles, identical order."""
+    from sac2mseed_spark.operators.changepoint import cusum_changepoints
+
+    t1h = rollup_from_turns(_metrics(spark, sf_dir), "1h")
+    return cusum_changepoints(t1h, tau=CUSUM_TAU)
+
+
+def q_seasonal_naive(spark, sf_dir):
+    """Seasonal-naive (value 24h ago) forecast MAE/RMSE per conversation
+    over the 1h tier (operators/forecast.py): the forecast baseline is
+    a co-partitioned self-equi-join on (conv, window − 1d); errors are
+    exact ints, MAE/RMSE one canonical float expression each."""
+    from sac2mseed_spark.operators.forecast import seasonal_naive_error
+
+    t1h = rollup_from_turns(_metrics(spark, sf_dir), "1h")
+    return seasonal_naive_error(t1h, season_us=SEASON_US)
+
+
+def q_sax_words(spark, sf_dir):
+    """SAX symbolization of each conversation's z-normalized hourly
+    token series into an a-d word (operators/sax.py): z from exact
+    integer conv totals, word by order-defined aggregation (sorted
+    structs here, string_agg ORDER BY in the oracle)."""
+    from sac2mseed_spark.operators.sax import sax_words
+
+    t1h = rollup_from_turns(_metrics(spark, sf_dir), "1h")
+    return sax_words(t1h)
+
+
+def q_tool_gini(spark, sf_dir):
+    """Tool-usage Gini impurity per conversation (operators/
+    diversity.py): log-free diversity from integer counts — the same
+    rational-arithmetic discipline as salient_terms."""
+    from sac2mseed_spark.operators.diversity import tool_gini
+
+    return tool_gini(transcripts_from_events(spark, sf_dir))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "transcripts": q_transcripts,
@@ -990,6 +1049,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "burstiness": q_burstiness,
         "interval_overlap": q_interval_overlap,
         "latency_histogram": q_latency_histogram,
+        "autocorr": q_autocorr,
+        "changepoint_cusum": q_changepoint_cusum,
+        "seasonal_naive": q_seasonal_naive,
+        "sax_words": q_sax_words,
+        "tool_gini": q_tool_gini,
     }
 
 
@@ -2377,6 +2441,152 @@ SELECT g.conv_id, n_turns, n_gaps, sum_gap_s,
 FROM g JOIN tc ON g.conv_id = tc.conv_id"""
 
 
+def _autocorr_sql() -> str:
+    lags = ACF_LAGS
+    lag_cols = ",\n         ".join(
+        f"lag(x, {j}) OVER tw AS y{j}" for j in lags
+    )
+    unions = "\n  UNION ALL\n  ".join(
+        f"SELECT conv_id, CAST({j} AS BIGINT) AS lag, x, y{j} AS y "
+        f"FROM l WHERE y{j} IS NOT NULL"
+        for j in lags
+    )
+    n, sx, sy = "CAST(n_pairs AS DOUBLE)", "CAST(sx AS DOUBLE)", "CAST(sy AS DOUBLE)"
+    sxy, sxx, syy = "CAST(sxy AS DOUBLE)", "CAST(sxx AS DOUBLE)", "CAST(syy AS DOUBLE)"
+    cov = f"({n}*{sxy} - {sx}*{sy})"
+    vx = f"({n}*{sxx} - {sx}*{sx})"
+    vy = f"({n}*{syy} - {sy}*{sy})"
+    return f"""{_ORACLE_PREFIX},
+t1h AS ({_tier_body_sql('1h')}),
+v AS (SELECT conv_id, window_start_us, sum_tokens AS x FROM t1h),
+l AS (
+  SELECT conv_id, x,
+         {lag_cols}
+  FROM v WINDOW tw AS (PARTITION BY conv_id ORDER BY window_start_us)
+),
+p AS (
+  {unions}
+),
+a AS (
+  SELECT conv_id, lag, count(*) AS n_pairs,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x*y) AS BIGINT) AS sxy,
+         CAST(sum(x*x) AS BIGINT) AS sxx,
+         CAST(sum(y*y) AS BIGINT) AS syy
+  FROM p GROUP BY 1, 2
+)
+SELECT conv_id, lag, n_pairs,
+       round({cov} / sqrt({vx}*{vy}), 6) AS acf
+FROM a
+WHERE n_pairs >= {ACF_MIN_PAIRS} AND {vx} > 0 AND {vy} > 0"""
+
+
+def _changepoint_cusum_sql() -> str:
+    m_ = "CAST(s AS DOUBLE)/CAST(n AS DOUBLE)"
+    var = f"CAST(ss AS DOUBLE)/CAST(n AS DOUBLE) - ({m_})*({m_})"
+    d = f"CAST(cum AS DOUBLE) - CAST(i AS DOUBLE)*({m_})"
+    return f"""{_ORACLE_PREFIX},
+t1h AS ({_tier_body_sql('1h')}),
+v AS (SELECT conv_id, window_start_us AS w, sum_tokens AS x FROM t1h),
+s0 AS (
+  SELECT conv_id, w, x,
+         row_number() OVER tw AS i,
+         CAST(sum(x) OVER (PARTITION BY conv_id ORDER BY w
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+         count(x) OVER cw AS n,
+         CAST(sum(x) OVER cw AS BIGINT) AS s,
+         CAST(sum(x*x) OVER cw AS BIGINT) AS ss
+  FROM v
+  WINDOW tw AS (PARTITION BY conv_id ORDER BY w),
+         cw AS (PARTITION BY conv_id)
+),
+sc AS (
+  SELECT conv_id, w, i, cum, n, s,
+         abs({d}) AS absd, ({var}) AS var
+  FROM s0
+  WHERE n >= 8 AND ({var}) > 0
+),
+best AS (
+  SELECT *, row_number() OVER
+    (PARTITION BY conv_id ORDER BY absd DESC, w ASC) AS rk
+  FROM sc
+)
+SELECT conv_id, w AS cp_window_start_us, n AS n_windows,
+       round(absd / (sqrt(var) * sqrt(CAST(n AS DOUBLE))), 6) AS cusum_stat,
+       round(CAST(cum AS DOUBLE) / CAST(i AS DOUBLE), 6) AS level_before,
+       round(CASE WHEN i < n
+         THEN CAST(s - cum AS DOUBLE) / CAST(n - i AS DOUBLE) END, 6)
+         AS level_after
+FROM best
+WHERE rk = 1 AND absd / (sqrt(var) * sqrt(CAST(n AS DOUBLE))) >= {CUSUM_TAU}"""
+
+
+def _seasonal_naive_sql() -> str:
+    return f"""{_ORACLE_PREFIX},
+t1h AS ({_tier_body_sql('1h')}),
+v AS (SELECT conv_id, window_start_us AS w, sum_tokens AS x FROM t1h),
+p AS (
+  SELECT a.conv_id, a.x - b.x AS e
+  FROM v a JOIN v b ON a.conv_id = b.conv_id AND a.w = b.w + {SEASON_US}
+),
+g AS (
+  SELECT conv_id, count(*) AS n_pairs,
+         CAST(sum(abs(e)) AS BIGINT) AS sae,
+         CAST(sum(e*e) AS BIGINT) AS sse
+  FROM p GROUP BY 1
+)
+SELECT conv_id, n_pairs,
+       round(CAST(sae AS DOUBLE) / CAST(n_pairs AS DOUBLE), 6) AS mae,
+       round(sqrt(CAST(sse AS DOUBLE) / CAST(n_pairs AS DOUBLE)), 6) AS rmse
+FROM g WHERE n_pairs >= 4"""
+
+
+def _sax_words_sql() -> str:
+    m_ = "CAST(s AS DOUBLE)/CAST(n AS DOUBLE)"
+    var = f"CAST(ss AS DOUBLE)/CAST(n AS DOUBLE) - ({m_})*({m_})"
+    z = f"(CAST(x AS DOUBLE) - ({m_})) / sqrt({var})"
+    return f"""{_ORACLE_PREFIX},
+t1h AS ({_tier_body_sql('1h')}),
+v AS (SELECT conv_id, window_start_us AS w, sum_tokens AS x FROM t1h),
+s0 AS (
+  SELECT conv_id, w, x,
+         count(x) OVER cw AS n,
+         CAST(sum(x) OVER cw AS BIGINT) AS s,
+         CAST(sum(x*x) OVER cw AS BIGINT) AS ss
+  FROM v WINDOW cw AS (PARTITION BY conv_id)
+)
+SELECT conv_id, max(n) AS n_windows,
+       string_agg(
+         CASE WHEN {z} < -0.6745 THEN 'a'
+              WHEN {z} < 0.0 THEN 'b'
+              WHEN {z} < 0.6745 THEN 'c'
+              ELSE 'd' END, '' ORDER BY w) AS sax_word
+FROM s0
+WHERE n >= 4 AND ({var}) > 0
+GROUP BY conv_id"""
+
+
+def _tool_gini_sql() -> str:
+    return f"""{_ORACLE_PREFIX},
+b AS (
+  SELECT conv_id,
+         CASE WHEN tool IS NULL OR trim(tool) = '' THEN 'none'
+              ELSE tool END AS tool
+  FROM m
+),
+c AS (SELECT conv_id, tool, count(*) AS c FROM b GROUP BY 1, 2),
+g AS (
+  SELECT conv_id, CAST(sum(c) AS BIGINT) AS n_turns,
+         count(*) AS n_tools,
+         CAST(sum(c*c) AS BIGINT) AS sc2
+  FROM c GROUP BY 1
+)
+SELECT conv_id, n_turns, n_tools,
+       round(CAST(n_turns*n_turns - sc2 AS DOUBLE)
+             / CAST(n_turns*n_turns AS DOUBLE), 6) AS gini
+FROM g WHERE n_turns >= 1"""
+
+
 def oracle_sql() -> dict[str, str]:
     lo, hi = 1_704_067_200_000_000, 1_704_240_000_000_000
     return {
@@ -2517,4 +2727,9 @@ SELECT * FROM bad UNION ALL SELECT * FROM good""",
         "burstiness": _burstiness_sql(),
         "interval_overlap": _interval_overlap_sql(1.5),
         "latency_histogram": _latency_histogram_sql(),
+        "autocorr": _autocorr_sql(),
+        "changepoint_cusum": _changepoint_cusum_sql(),
+        "seasonal_naive": _seasonal_naive_sql(),
+        "sax_words": _sax_words_sql(),
+        "tool_gini": _tool_gini_sql(),
     }

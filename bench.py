@@ -83,6 +83,11 @@ SUITE_QUERIES = [
     "burstiness",
     "interval_overlap",
     "latency_histogram",
+    "autocorr",
+    "changepoint_cusum",
+    "seasonal_naive",
+    "sax_words",
+    "tool_gini",
 ]
 
 
