@@ -975,6 +975,37 @@ def q_sax_words(spark, sf_dir):
     return sax_words(t1h)
 
 
+CCF_LAGS = (0, 1, 2)
+LTTB_BUCKET_US = 4 * 3_600_000_000  # 4h pixel buckets over the 1m tier
+
+
+def q_cross_corr(spark, sf_dir):
+    """Lagged cross-correlation corr(latency_t, turn_count_{t-k}) per
+    conversation over the 1h tier (operators/autocorr.py
+    cross_correlation): does past turn volume lead latency? Shares the
+    ACF kernel — both series ride the same tier row, so no join."""
+    from sac2mseed_spark.operators.autocorr import cross_correlation
+
+    t1h = rollup_from_turns(_metrics(spark, sf_dir), "1h").withColumn(
+        "lat_s",
+        F.floor(F.col("sum_latency_us") / F.lit(1000000.0)).cast("long"),
+    )
+    return cross_correlation(
+        t1h, "lat_s", "n_points", lags=CCF_LAGS, min_pairs=ACF_MIN_PAIRS
+    )
+
+
+def q_lttb_downsample(spark, sf_dir):
+    """Parallel LTTB shape-preserving downsample of the 1m token series
+    into 4h buckets (operators/lttb.py): neighbor-bucket mean anchors
+    from exact integer sums, per-bucket max-area argmax with an
+    engine-identical ordering."""
+    from sac2mseed_spark.operators.lttb import lttb_downsample
+
+    t1m = rollup_from_turns(_metrics(spark, sf_dir), "1m")
+    return lttb_downsample(t1m, bucket_us=LTTB_BUCKET_US)
+
+
 def q_tool_gini(spark, sf_dir):
     """Tool-usage Gini impurity per conversation (operators/
     diversity.py): log-free diversity from integer counts — the same
@@ -1054,6 +1085,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seasonal_naive": q_seasonal_naive,
         "sax_words": q_sax_words,
         "tool_gini": q_tool_gini,
+        "cross_corr": q_cross_corr,
+        "lttb_downsample": q_lttb_downsample,
     }
 
 
@@ -2566,6 +2599,99 @@ WHERE n >= 4 AND ({var}) > 0
 GROUP BY conv_id"""
 
 
+def _cross_corr_sql() -> str:
+    lags = CCF_LAGS
+    lag_cols = ",\n         ".join(
+        f"lag(y, {j}) OVER tw AS y{j}" for j in lags
+    )
+    unions = "\n  UNION ALL\n  ".join(
+        f"SELECT conv_id, CAST({j} AS BIGINT) AS lag, x, y{j} AS y "
+        f"FROM l WHERE y{j} IS NOT NULL"
+        for j in lags
+    )
+    n, sx, sy = "CAST(n_pairs AS DOUBLE)", "CAST(sx AS DOUBLE)", "CAST(sy AS DOUBLE)"
+    sxy, sxx, syy = "CAST(sxy AS DOUBLE)", "CAST(sxx AS DOUBLE)", "CAST(syy AS DOUBLE)"
+    cov = f"({n}*{sxy} - {sx}*{sy})"
+    vx = f"({n}*{sxx} - {sx}*{sx})"
+    vy = f"({n}*{syy} - {sy}*{sy})"
+    return f"""{_ORACLE_PREFIX},
+t1h AS ({_tier_body_sql('1h')}),
+v AS (
+  SELECT conv_id, window_start_us,
+         CAST(floor(sum_latency_us / 1000000.0) AS BIGINT) AS x,
+         n_points AS y
+  FROM t1h
+),
+l AS (
+  SELECT conv_id, x,
+         {lag_cols}
+  FROM v WINDOW tw AS (PARTITION BY conv_id ORDER BY window_start_us)
+),
+p AS (
+  {unions}
+),
+a AS (
+  SELECT conv_id, lag, count(*) AS n_pairs,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x*y) AS BIGINT) AS sxy,
+         CAST(sum(x*x) AS BIGINT) AS sxx,
+         CAST(sum(y*y) AS BIGINT) AS syy
+  FROM p GROUP BY 1, 2
+)
+SELECT conv_id, lag, n_pairs,
+       round({cov} / sqrt({vx}*{vy}), 6) AS ccf
+FROM a
+WHERE n_pairs >= {ACF_MIN_PAIRS} AND {vx} > 0 AND {vy} > 0"""
+
+
+def _lttb_sql() -> str:
+    ax = "CAST(pst AS DOUBLE)/CAST(pn AS DOUBLE)"
+    ay = "CAST(psv AS DOUBLE)/CAST(pn AS DOUBLE)"
+    cx = "CAST(nst AS DOUBLE)/CAST(nn AS DOUBLE)"
+    cy = "CAST(nsv AS DOUBLE)/CAST(nn AS DOUBLE)"
+    bx, by = "CAST(ts AS DOUBLE)", "CAST(value AS DOUBLE)"
+    area2 = (
+        f"abs(({ax} - {cx})*({by} - {ay}) - ({ax} - {bx})*({cy} - {ay}))"
+    )
+    return f"""{_ORACLE_PREFIX},
+t1m AS ({_tier_body_sql('1m')}),
+pts AS (
+  SELECT conv_id, window_start_us AS ts, sum_tokens AS value,
+         CAST(floor(window_start_us / {float(LTTB_BUCKET_US)!r}) AS BIGINT) AS b
+  FROM t1m
+),
+st AS (
+  SELECT conv_id, b, count(*) AS n,
+         CAST(sum(ts) AS BIGINT) AS st, CAST(sum(value) AS BIGINT) AS sv
+  FROM pts GROUP BY 1, 2
+),
+j AS (
+  SELECT p.conv_id, p.b, p.ts, p.value,
+         pr.n AS pn, pr.st AS pst, pr.sv AS psv,
+         nx.n AS nn, nx.st AS nst, nx.sv AS nsv
+  FROM pts p
+  LEFT JOIN st pr ON pr.conv_id = p.conv_id AND pr.b = p.b - 1
+  LEFT JOIN st nx ON nx.conv_id = p.conv_id AND nx.b = p.b + 1
+),
+sc AS (
+  SELECT conv_id, b, ts, value,
+         pn IS NULL AS fst, nn IS NULL AS lst,
+         CASE WHEN pn IS NOT NULL AND nn IS NOT NULL
+              THEN {area2} END AS area2
+  FROM j
+),
+rk AS (
+  SELECT conv_id, b, ts, value,
+         row_number() OVER (PARTITION BY conv_id, b ORDER BY
+           CASE WHEN fst AND NOT lst THEN ts
+                WHEN lst THEN -ts ELSE -1 END ASC,
+           area2 DESC NULLS LAST, ts ASC) AS r
+  FROM sc
+)
+SELECT conv_id, b * {LTTB_BUCKET_US} AS bucket_start_us, ts, value
+FROM rk WHERE r = 1"""
+
+
 def _tool_gini_sql() -> str:
     return f"""{_ORACLE_PREFIX},
 b AS (
@@ -2732,4 +2858,6 @@ SELECT * FROM bad UNION ALL SELECT * FROM good""",
         "seasonal_naive": _seasonal_naive_sql(),
         "sax_words": _sax_words_sql(),
         "tool_gini": _tool_gini_sql(),
+        "cross_corr": _cross_corr_sql(),
+        "lttb_downsample": _lttb_sql(),
     }

@@ -88,6 +88,8 @@ SUITE_QUERIES = [
     "seasonal_naive",
     "sax_words",
     "tool_gini",
+    "cross_corr",
+    "lttb_downsample",
 ]
 
 

@@ -30,6 +30,11 @@ window pass computing ALL requested lags, one explode (fan-out = len
 lag columns make the pairing a map-side operation, so the plan is
 shuffle(conv) → window → explode → partial agg → shuffle(conv, lag) →
 final agg, which survives any scale the tier itself survives.
+
+:func:`cross_correlation` shares the identical kernel with TWO value
+columns of the same tier row — corr(x_t, y_{t-k}) tests whether y
+LEADS x (e.g. does this hour's turn count predict next hour's
+latency), again with no join: both series ride the same row.
 """
 
 from __future__ import annotations
@@ -60,15 +65,57 @@ def autocorrelation(
     lags = sorted(set(int(j) for j in lags))
     if not lags or lags[0] < 1:
         raise ValueError(f"lags must be positive ints, got {lags!r}")
+    return _lagged_correlation(
+        tier, value_col, value_col, lags, key_col, order_col,
+        min_pairs, "acf",
+    )
+
+
+def cross_correlation(
+    tier: DataFrame,
+    x_col: str,
+    y_col: str,
+    lags: Sequence[int] = (0, 1, 2),
+    key_col: str = "conv_id",
+    order_col: str = "window_start_us",
+    min_pairs: int = 8,
+) -> DataFrame:
+    """Lagged cross-correlation per (key, lag): corr(x_t, y_{t-lag}).
+
+    Lag 0 is the contemporaneous correlation; positive lags test
+    whether past y predicts present x (y LEADS x). Same integer-sum
+    float discipline and plan shape as :func:`autocorrelation` — the
+    two series are columns of the SAME tier row, so no join is ever
+    needed to pair them. Returns (key, lag, n_pairs, ccf).
+    """
+    lags = sorted(set(int(j) for j in lags))
+    if not lags or lags[0] < 0:
+        raise ValueError(f"lags must be >= 0, got {lags!r}")
+    return _lagged_correlation(
+        tier, x_col, y_col, lags, key_col, order_col, min_pairs, "ccf"
+    )
+
+
+def _lagged_correlation(
+    tier: DataFrame,
+    x_col: str,
+    y_col: str,
+    lags: Sequence[int],
+    key_col: str,
+    order_col: str,
+    min_pairs: int,
+    out_name: str,
+) -> DataFrame:
     if min_pairs < 2:
         raise ValueError(f"min_pairs must be >= 2, got {min_pairs}")
 
-    x = F.col(value_col).cast("long")
+    x = F.col(x_col).cast("long")
+    y = F.col(y_col).cast("long")
     w = Window.partitionBy(key_col).orderBy(order_col)
     staged = tier.select(
         F.col(key_col),
         x.alias("__x"),
-        *[F.lag(x, j).over(w).alias(f"__y{j}") for j in lags],
+        *[F.lag(y, j).over(w).alias(f"__y{j}") for j in lags],
     )
     pairs = (
         staged.select(
@@ -119,7 +166,7 @@ def autocorrelation(
             key_col,
             "lag",
             "n_pairs",
-            (cov / F.sqrt(vx * vy)).alias("__acf"),
+            (cov / F.sqrt(vx * vy)).alias("__r"),
             vx.alias("__vx"),
             vy.alias("__vy"),
         )
@@ -128,6 +175,6 @@ def autocorrelation(
             key_col,
             "lag",
             "n_pairs",
-            F.round("__acf", 6).alias("acf"),
+            F.round("__r", 6).alias(out_name),
         )
     )

@@ -4,7 +4,11 @@ import math
 
 import pytest
 
-from sac2mseed_spark.operators.autocorr import autocorrelation
+from sac2mseed_spark.operators.autocorr import (
+    autocorrelation,
+    cross_correlation,
+)
+from sac2mseed_spark.operators.lttb import lttb_downsample
 from sac2mseed_spark.operators.changepoint import cusum_changepoints
 from sac2mseed_spark.operators.diversity import tool_gini
 from sac2mseed_spark.operators.forecast import seasonal_naive_error
@@ -71,6 +75,79 @@ def test_acf_constant_series_dropped_and_validation(spark):
         autocorrelation(_series(spark, [1, 2]), lags=(0,))
     with pytest.raises(ValueError):
         autocorrelation(_series(spark, [1, 2]), min_pairs=1)
+
+
+# ------------------------------------------------------------- CCF
+
+
+def _two_series(spark, xs, ys, conv="c1"):
+    rows = [(conv, i * HOUR, x, y) for i, (x, y) in enumerate(zip(xs, ys))]
+    return spark.createDataFrame(
+        rows, "conv_id string, window_start_us long, lat long, cnt long"
+    )
+
+
+def test_ccf_lag_detects_shifted_copy(spark):
+    # x is y shifted right by 2: corr(x_t, y_{t-2}) = 1 exactly
+    ys = [3, 1, 4, 1, 5, 9, 2, 6, 5, 3, 5, 8, 9, 7]
+    xs = [0, 0] + ys[:-2]
+    df = _two_series(spark, xs, ys)
+    out = {
+        r["lag"]: r["ccf"]
+        for r in cross_correlation(
+            df, "lat", "cnt", lags=(0, 1, 2), min_pairs=4
+        ).collect()
+    }
+    assert math.isclose(out[2], 1.0, abs_tol=1e-6)
+    assert abs(out[0]) < 0.999 and abs(out[1]) < 0.999
+
+
+def test_ccf_lag_zero_is_pearson(spark):
+    xs = [1, 2, 3, 4, 5, 6]
+    ys = [2, 4, 6, 8, 10, 12]
+    out = cross_correlation(
+        _two_series(spark, xs, ys), "lat", "cnt", lags=(0,), min_pairs=4
+    ).collect()
+    assert len(out) == 1 and math.isclose(out[0]["ccf"], 1.0, abs_tol=1e-6)
+    with pytest.raises(ValueError):
+        cross_correlation(_two_series(spark, xs, ys), "lat", "cnt", lags=(-1,))
+
+
+# ------------------------------------------------------------ LTTB
+
+
+def test_lttb_one_point_per_bucket_keeps_spike(spark):
+    # 3 buckets x 4 points; middle bucket has a spike the mean would hide
+    vals = [10, 10, 10, 10, 10, 90, 10, 10, 10, 10, 10, 10]
+    out = lttb_downsample(
+        _series(spark, vals), bucket_us=4 * HOUR, value_col="sum_tokens"
+    ).collect()
+    assert len(out) == 3  # one point per bucket
+    mid = [r for r in out if r["bucket_start_us"] == 4 * HOUR * 1][0]
+    assert mid["value"] == 90  # the spike survives
+    first = [r for r in out if r["bucket_start_us"] == 0][0]
+    last = [r for r in out if r["bucket_start_us"] == 8 * HOUR][0]
+    assert first["ts"] == 0  # endpoint keeping
+    assert last["ts"] == 11 * HOUR
+
+
+def test_lttb_single_bucket_and_validation(spark):
+    out = lttb_downsample(
+        _series(spark, [5, 6, 7]), bucket_us=10**15
+    ).collect()
+    # only bucket -> latest point (endpoint rule)
+    assert len(out) == 1 and out[0]["ts"] == 2 * HOUR
+    with pytest.raises(ValueError):
+        lttb_downsample(_series(spark, [1]), bucket_us=0)
+
+
+def test_lttb_prefers_max_area_point(spark):
+    # prev mean (ts=0..3 h, v=10), next mean (8..11 h, v=10); middle
+    # bucket: 50 beats 40 on area
+    vals = [10, 10, 10, 10, 40, 50, 10, 10, 10, 10, 10, 10]
+    out = lttb_downsample(_series(spark, vals), bucket_us=4 * HOUR).collect()
+    mid = [r for r in out if r["bucket_start_us"] == 4 * HOUR][0]
+    assert mid["value"] == 50
 
 
 # ----------------------------------------------------------- CUSUM
