@@ -1006,6 +1006,24 @@ def q_lttb_downsample(spark, sf_dir):
     return lttb_downsample(t1m, bucket_us=LTTB_BUCKET_US)
 
 
+def q_response_latency(spark, sf_dir):
+    """Per-conversation time-to-next-assistant-response profile
+    (operators/response.py): reversed unbounded-following min frame —
+    no self-join; integer second gaps, one float division."""
+    from sac2mseed_spark.operators.response import response_latency
+
+    return response_latency(_metrics(spark, sf_dir))
+
+
+def q_cohort_retention(spark, sf_dir):
+    """Daily cohort retention matrix over conversations (operators/
+    cohort.py): (conv, day) distinct → cohort min → (cohort, day)
+    counts, cohort sizes broadcast; rate is one double division."""
+    from sac2mseed_spark.operators.cohort import cohort_retention
+
+    return cohort_retention(_metrics(spark, sf_dir))
+
+
 def q_tool_gini(spark, sf_dir):
     """Tool-usage Gini impurity per conversation (operators/
     diversity.py): log-free diversity from integer counts — the same
@@ -1087,6 +1105,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tool_gini": q_tool_gini,
         "cross_corr": q_cross_corr,
         "lttb_downsample": q_lttb_downsample,
+        "response_latency": q_response_latency,
+        "cohort_retention": q_cohort_retention,
     }
 
 
@@ -2692,6 +2712,63 @@ SELECT conv_id, b * {LTTB_BUCKET_US} AS bucket_start_us, ts, value
 FROM rk WHERE r = 1"""
 
 
+def _response_latency_sql() -> str:
+    return f"""{_ORACLE_PREFIX},
+r AS (
+  SELECT conv_id, role, ts_us,
+         min(CASE WHEN role = 'assistant' THEN ts_us END) OVER
+           (PARTITION BY conv_id ORDER BY turn_idx, ts_us
+            ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS na
+  FROM m
+),
+u AS (
+  SELECT conv_id,
+         CASE WHEN na IS NOT NULL THEN
+           CAST(floor((na - ts_us) / 1000000.0) AS BIGINT) END AS resp_s
+  FROM r WHERE role = 'user'
+),
+g AS (
+  SELECT conv_id, count(*) AS n_user_turns, count(resp_s) AS n_answered,
+         CAST(sum(resp_s) AS BIGINT) AS ss,
+         max(resp_s) AS max_response_s
+  FROM u GROUP BY 1
+)
+SELECT conv_id, n_user_turns, n_answered,
+       round(CAST(ss AS DOUBLE) / CAST(n_answered AS DOUBLE), 6)
+         AS mean_response_s,
+       max_response_s
+FROM g WHERE n_answered > 0"""
+
+
+def _cohort_retention_sql() -> str:
+    d = 86_400_000_000
+    return f"""{_ORACLE_PREFIX},
+cd AS (
+  SELECT DISTINCT conv_id,
+         CAST(floor(ts_us / {float(d)!r}) AS BIGINT) * {d} AS active_day_us
+  FROM m
+),
+wc AS (
+  SELECT conv_id, active_day_us,
+         min(active_day_us) OVER (PARTITION BY conv_id) AS cohort_day_us
+  FROM cd
+),
+a AS (
+  SELECT cohort_day_us, active_day_us, count(*) AS n_active
+  FROM wc GROUP BY 1, 2
+),
+s AS (
+  SELECT cohort_day_us, count(*) AS cohort_size
+  FROM wc WHERE active_day_us = cohort_day_us GROUP BY 1
+)
+SELECT a.cohort_day_us, active_day_us,
+       CAST((active_day_us - a.cohort_day_us) / {d} AS BIGINT) AS age_days,
+       n_active, cohort_size,
+       round(CAST(n_active AS DOUBLE) / CAST(cohort_size AS DOUBLE), 6)
+         AS retention_rate
+FROM a JOIN s ON a.cohort_day_us = s.cohort_day_us"""
+
+
 def _tool_gini_sql() -> str:
     return f"""{_ORACLE_PREFIX},
 b AS (
@@ -2860,4 +2937,6 @@ SELECT * FROM bad UNION ALL SELECT * FROM good""",
         "tool_gini": _tool_gini_sql(),
         "cross_corr": _cross_corr_sql(),
         "lttb_downsample": _lttb_sql(),
+        "response_latency": _response_latency_sql(),
+        "cohort_retention": _cohort_retention_sql(),
     }

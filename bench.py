@@ -90,6 +90,8 @@ SUITE_QUERIES = [
     "tool_gini",
     "cross_corr",
     "lttb_downsample",
+    "response_latency",
+    "cohort_retention",
 ]
 
 
