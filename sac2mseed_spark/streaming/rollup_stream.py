@@ -374,3 +374,89 @@ def stream_burst_detect(
     return transcripts.groupBy("conv_id").applyInPandasWithState(
         fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
     )
+
+
+def stream_zscore_anomalies(
+    tier_stream: DataFrame,
+    k: int = 12,
+    tau: float = 3.0,
+    value_col: str = "sum_tokens",
+) -> DataFrame:
+    """Streaming twin of operators/anomaly.zscore_anomalies.
+
+    Consumes a stream of FINALIZED tier rows (conv_id, window_start_us,
+    value) — e.g. the append-mode output of the watermarked tier
+    aggregate — and scores each window against the mean/std of the
+    previous k observed windows of its conversation, exactly the batch
+    operator's ROWS(-k, -1) frame. Per conv_id the state carries only
+    the last k integer values (bounded, independent of conversation
+    length); trailing sums come from one padded cumsum over
+    state+batch, so the kernel is vectorized across the micro-batch
+    (no per-row Python).
+
+    The integer trailing sums match the batch operator exactly; the
+    derived mean/var/z use the same canonical float expression in
+    float64, so on append-ordered delivery the emitted set equals the
+    batch operator's (tests assert; z here is UNROUNDED — the batch
+    query applies 6dp presentation rounding on top). Out-of-order
+    windows belong to the batch heal path, like every stateful
+    operator in this module.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+
+    out_schema = "conv_id string, window_start_us long, value long, z double"
+    state_schema = "recent array<long>"
+
+    def fn(key, pdfs, state: GroupState):
+        conv_id = key[0]
+        parts = [p for p in pdfs if len(p)]
+        if not parts:
+            return
+        pdf = pd.concat(parts, ignore_index=True).sort_values(
+            "window_start_us", kind="mergesort"
+        )
+        vals = pdf[value_col].to_numpy(np.int64)
+        wins = pdf["window_start_us"].to_numpy(np.int64)
+        prior = (
+            np.asarray(state.get[0], dtype=np.int64)
+            if state.exists
+            else np.empty(0, dtype=np.int64)
+        )
+        allv = np.concatenate([prior, vals])
+        cs = np.concatenate([[0], np.cumsum(allv)])
+        css = np.concatenate([[0], np.cumsum(allv * allv)])
+        g = np.arange(len(prior), len(allv))
+        have = g >= k
+        state.update((allv[-k:].tolist(),))
+        if not have.any():
+            return
+        gi = g[have]
+        s = (cs[gi] - cs[gi - k]).astype(np.float64)
+        ss = (css[gi] - css[gi - k]).astype(np.float64)
+        # canonical expression shape of the batch operator:
+        # mean = s/k; var = ss/k - mean^2; z = (v - mean)/sqrt(var)
+        mean = s / float(k)
+        var = ss / float(k) - mean * mean
+        with np.errstate(invalid="ignore", divide="ignore"):
+            z = (allv[gi].astype(np.float64) - mean) / np.sqrt(var)
+        keep = (var > 0) & (np.abs(z) >= tau)
+        if keep.any():
+            sel = np.zeros(len(vals), dtype=bool)
+            sel[have] = keep
+            yield pd.DataFrame(
+                {
+                    "conv_id": conv_id,
+                    "window_start_us": wins[sel],
+                    "value": vals[sel],
+                    "z": z[keep],
+                }
+            )
+
+    return tier_stream.groupBy("conv_id").applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
