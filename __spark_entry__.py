@@ -505,6 +505,9 @@ def q_embedding_quantize(spark, sf_dir):
 # trailing z-score anomaly parameters (shared by query and oracle)
 ANOMALY_K = 12
 ANOMALY_TAU = 2.0
+ROBUST_TAU = 3.5
+ROBUST_MIN_WINDOWS = 8
+COOCCUR_K = 4
 
 
 def q_anomaly_zscore(spark, sf_dir):
@@ -1033,6 +1036,50 @@ def q_tool_gini(spark, sf_dir):
     return tool_gini(transcripts_from_events(spark, sf_dir))
 
 
+def q_activity_streaks(spark, sf_dir):
+    """Longest consecutive-window activity streak per conversation
+    over the 1h tier (operators/streaks.py): gaps-and-islands via
+    idx - row_number(), all-integer, ties to earliest start."""
+    from sac2mseed_spark.operators.streaks import activity_streaks
+
+    return activity_streaks(
+        rollup_from_turns(_metrics(spark, sf_dir), "1h"), "1h"
+    )
+
+
+def q_robust_outliers(spark, sf_dir):
+    """Median/MAD robust outliers on 1h window latency seconds
+    (operators/robust.py; same floored-seconds value as
+    anomaly_zscore — the token/point columns of the event-derived
+    corpus are cadence-regular, MAD 0 by construction): exact
+    interpolated percentiles over integers are half/quarter-integers,
+    bit-equal across engines; the robust z is one shared float
+    expression rounded 6dp."""
+    from sac2mseed_spark.operators.robust import robust_outliers
+
+    t1h = rollup_from_turns(_metrics(spark, sf_dir), "1h").withColumn(
+        "lat_s",
+        F.floor(F.col("sum_latency_us") / F.lit(1000000.0)).cast("long"),
+    )
+    return robust_outliers(
+        t1h,
+        value_col="lat_s",
+        tau=ROBUST_TAU,
+        min_windows=ROBUST_MIN_WINDOWS,
+    )
+
+
+def q_term_cooccurrence(spark, sf_dir):
+    """Top-4-terms-per-document co-occurrence with doc-set Jaccard
+    (operators/cooccur.py): tf top-k bounds the per-doc pair fan-out
+    at 6; integer pair counts, one final division."""
+    from sac2mseed_spark.operators.cooccur import term_cooccurrence
+
+    return term_cooccurrence(
+        load_table(spark, sf_dir, "documents"), k=COOCCUR_K
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "transcripts": q_transcripts,
@@ -1107,6 +1154,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lttb_downsample": q_lttb_downsample,
         "response_latency": q_response_latency,
         "cohort_retention": q_cohort_retention,
+        "activity_streaks": q_activity_streaks,
+        "robust_outliers": q_robust_outliers,
+        "term_cooccurrence": q_term_cooccurrence,
     }
 
 
@@ -2790,6 +2840,92 @@ SELECT conv_id, n_turns, n_tools,
 FROM g WHERE n_turns >= 1"""
 
 
+def _activity_streaks_sql() -> str:
+    w = _TIER_US["1h"]
+    return f"""{_ORACLE_PREFIX},
+t1h AS ({_tier_body_sql('1h')}),
+i AS (
+  SELECT conv_id, window_start_us, window_start_us // {w} AS idx
+  FROM t1h
+),
+g AS (
+  SELECT conv_id, window_start_us,
+         idx - row_number() OVER (PARTITION BY conv_id ORDER BY idx) AS grp
+  FROM i
+),
+st AS (
+  SELECT conv_id, grp, count(*) AS len,
+         min(window_start_us) AS start FROM g GROUP BY 1, 2
+),
+r AS (
+  SELECT conv_id,
+         CAST(sum(len) OVER (PARTITION BY conv_id) AS BIGINT) AS n_windows,
+         count(*) OVER (PARTITION BY conv_id) AS n_streaks,
+         len AS longest_streak, start AS longest_start_us,
+         row_number() OVER (PARTITION BY conv_id
+                            ORDER BY len DESC, start ASC) AS rk
+  FROM st
+)
+SELECT conv_id, n_windows, n_streaks, longest_streak, longest_start_us
+FROM r WHERE rk = 1"""
+
+
+def _robust_outliers_sql() -> str:
+    return f"""{_ORACLE_PREFIX},
+t1h AS ({_tier_body_sql('1h')}),
+v AS (SELECT conv_id, window_start_us,
+             CAST(floor(sum_latency_us / 1000000.0) AS BIGINT) AS value
+      FROM t1h),
+medt AS (
+  SELECT conv_id, quantile_cont(value, 0.5) AS med, count(*) AS n
+  FROM v GROUP BY 1
+),
+j AS (SELECT v.*, medt.med, medt.n FROM v JOIN medt USING (conv_id)),
+madt AS (
+  SELECT conv_id,
+         quantile_cont(abs(CAST(value AS DOUBLE) - med), 0.5) AS mad
+  FROM j GROUP BY 1
+),
+o AS (
+  SELECT j.conv_id, j.window_start_us, j.value, j.med, d.mad,
+         round(0.6745 * (CAST(j.value AS DOUBLE) - j.med) / d.mad, 6)
+           AS rz
+  FROM j JOIN madt d USING (conv_id)
+  WHERE j.n >= {ROBUST_MIN_WINDOWS} AND d.mad > 0
+)
+SELECT conv_id, window_start_us, value, med, mad, rz
+FROM o WHERE abs(rz) >= {ROBUST_TAU}"""
+
+
+def _term_cooccurrence_sql() -> str:
+    toks = _TOKENS_SQL.format(t="text")
+    return f"""
+WITH terms AS (
+  SELECT doc_id AS doc, unnest({toks}) AS term FROM documents
+),
+ft AS (SELECT doc, term FROM terms WHERE lower(term) NOT IN
+       (SELECT unnest({_STOPWORDS_SQL}))),
+tf AS (SELECT doc, term, count(*) AS tf FROM ft GROUP BY 1, 2),
+tk AS (
+  SELECT doc, term FROM (
+    SELECT doc, term, row_number() OVER
+           (PARTITION BY doc ORDER BY tf DESC, term ASC) AS rk
+    FROM tf
+  ) WHERE rk <= {COOCCUR_K}
+),
+p AS (
+  SELECT a.term AS term_a, b.term AS term_b, count(*) AS n_ab
+  FROM tk a JOIN tk b ON a.doc = b.doc AND a.term < b.term
+  GROUP BY 1, 2
+),
+t AS (SELECT term, count(*) AS n_t FROM tk GROUP BY 1)
+SELECT p.term_a, p.term_b, p.n_ab, ta.n_t AS n_a, tb.n_t AS n_b,
+       round(CAST(p.n_ab AS DOUBLE)
+             / CAST(ta.n_t + tb.n_t - p.n_ab AS DOUBLE), 6) AS jaccard
+FROM p JOIN t ta ON p.term_a = ta.term JOIN t tb ON p.term_b = tb.term
+WHERE p.n_ab >= 1"""
+
+
 def oracle_sql() -> dict[str, str]:
     lo, hi = 1_704_067_200_000_000, 1_704_240_000_000_000
     return {
@@ -2939,4 +3075,7 @@ SELECT * FROM bad UNION ALL SELECT * FROM good""",
         "lttb_downsample": _lttb_sql(),
         "response_latency": _response_latency_sql(),
         "cohort_retention": _cohort_retention_sql(),
+        "activity_streaks": _activity_streaks_sql(),
+        "robust_outliers": _robust_outliers_sql(),
+        "term_cooccurrence": _term_cooccurrence_sql(),
     }

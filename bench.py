@@ -92,6 +92,9 @@ SUITE_QUERIES = [
     "lttb_downsample",
     "response_latency",
     "cohort_retention",
+    "activity_streaks",
+    "robust_outliers",
+    "term_cooccurrence",
 ]
 
 
