@@ -508,6 +508,7 @@ ANOMALY_TAU = 2.0
 ROBUST_TAU = 3.5
 ROBUST_MIN_WINDOWS = 8
 COOCCUR_K = 4
+TOPK_CONVS = 3
 
 
 def q_anomaly_zscore(spark, sf_dir):
@@ -1080,6 +1081,27 @@ def q_term_cooccurrence(spark, sf_dir):
     )
 
 
+def q_ohlc_1h(spark, sf_dir):
+    """Per-(conv, hour) OHLC bars of token_count (operators/ohlc.py):
+    first/last by the stable (ts, turn_idx) order via two row_number
+    directions folded into one hash aggregate — all-integer."""
+    from sac2mseed_spark.operators.ohlc import ohlc_bars
+
+    return ohlc_bars(_metrics(spark, sf_dir), "1h", "token_count")
+
+
+def q_window_topk(spark, sf_dir):
+    """Hourly top-k conversation leaderboard (operators/
+    leaderboard.py): salted two-phase top-k so a hot hour never
+    builds a fat rank partition; deterministic (value desc, conv asc)
+    total order."""
+    from sac2mseed_spark.operators.leaderboard import window_topk
+
+    return window_topk(
+        rollup_from_turns(_metrics(spark, sf_dir), "1h"), k=TOPK_CONVS
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "transcripts": q_transcripts,
@@ -1157,6 +1179,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "activity_streaks": q_activity_streaks,
         "robust_outliers": q_robust_outliers,
         "term_cooccurrence": q_term_cooccurrence,
+        "ohlc_1h": q_ohlc_1h,
+        "window_topk": q_window_topk,
     }
 
 
@@ -2926,6 +2950,46 @@ FROM p JOIN t ta ON p.term_a = ta.term JOIN t tb ON p.term_b = tb.term
 WHERE p.n_ab >= 1"""
 
 
+def _ohlc_sql() -> str:
+    w = _TIER_US["1h"]
+    return f"""{_ORACLE_PREFIX},
+i AS (
+  SELECT conv_id,
+         CAST(floor(ts_us / {w}.0) AS BIGINT) * {w} AS window_start_us,
+         ts_us, turn_idx, CAST(token_count AS BIGINT) AS v
+  FROM m
+),
+r AS (
+  SELECT *, row_number() OVER
+            (PARTITION BY conv_id, window_start_us
+             ORDER BY ts_us ASC, turn_idx ASC) AS rn,
+         row_number() OVER
+            (PARTITION BY conv_id, window_start_us
+             ORDER BY ts_us DESC, turn_idx DESC) AS rnd
+  FROM i
+)
+SELECT conv_id, window_start_us,
+       max(CASE WHEN rn = 1 THEN v END) AS open,
+       max(v) AS high, min(v) AS low,
+       max(CASE WHEN rnd = 1 THEN v END) AS close,
+       count(*) AS n_points
+FROM r GROUP BY 1, 2"""
+
+
+def _window_topk_sql() -> str:
+    return f"""{_ORACLE_PREFIX},
+t1h AS ({_tier_body_sql('1h')}),
+r AS (
+  SELECT window_start_us, conv_id, CAST(sum_tokens AS BIGINT) AS value,
+         CAST(row_number() OVER
+              (PARTITION BY window_start_us
+               ORDER BY sum_tokens DESC, conv_id ASC) AS INTEGER) AS rank
+  FROM t1h
+)
+SELECT window_start_us, rank, conv_id, value
+FROM r WHERE rank <= {TOPK_CONVS}"""
+
+
 def oracle_sql() -> dict[str, str]:
     lo, hi = 1_704_067_200_000_000, 1_704_240_000_000_000
     return {
@@ -3078,4 +3142,6 @@ SELECT * FROM bad UNION ALL SELECT * FROM good""",
         "activity_streaks": _activity_streaks_sql(),
         "robust_outliers": _robust_outliers_sql(),
         "term_cooccurrence": _term_cooccurrence_sql(),
+        "ohlc_1h": _ohlc_sql(),
+        "window_topk": _window_topk_sql(),
     }

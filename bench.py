@@ -95,6 +95,8 @@ SUITE_QUERIES = [
     "activity_streaks",
     "robust_outliers",
     "term_cooccurrence",
+    "ohlc_1h",
+    "window_topk",
 ]
 
 
