@@ -83,3 +83,30 @@ def test_asof_attribution_single_shuffle_no_range_join(spark):
     plan = _plan(spark, "asof_attribution")
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan  # union+window form, not a join
+
+
+def test_ohlc_windows_fold_into_one_aggregate_chain(spark):
+    # two row_number directions + groupBy all share the (conv, window)
+    # exchange; metrics' lag window contributes the other
+    plan = _plan(spark, "ohlc_1h")
+    n_ex = len(re.findall(r"\(\d+\) Exchange", plan))
+    assert n_ex <= 2, f"ohlc_1h plan has {n_ex} exchanges"
+    assert "SortMergeJoin" not in plan  # no join-back for first/last
+
+
+def test_activity_streaks_no_self_join(spark):
+    # gaps-and-islands must stay window+agg on one conv partitioning
+    plan = _plan(spark, "activity_streaks")
+    n_ex = len(re.findall(r"\(\d+\) Exchange", plan))
+    assert n_ex <= 2, f"activity_streaks plan has {n_ex} exchanges"
+    assert "Join" not in plan
+
+
+def test_window_topk_two_phase_shape(spark):
+    # exactly three exchanges: metrics lag (conv), salted local rank
+    # (salt, window), exact global rank (window) — losing the salted
+    # phase would read as 2, losing co-partitioning as 4+
+    plan = _plan(spark, "window_topk")
+    n_ex = len(re.findall(r"\(\d+\) Exchange", plan))
+    assert n_ex == 3, f"window_topk plan has {n_ex} exchanges"
+    assert "SortMergeJoin" not in plan
