@@ -509,6 +509,7 @@ ROBUST_TAU = 3.5
 ROBUST_MIN_WINDOWS = 8
 COOCCUR_K = 4
 TOPK_CONVS = 3
+UTIL_IDLE_S = 300
 
 
 def q_anomaly_zscore(spark, sf_dir):
@@ -1102,6 +1103,25 @@ def q_window_topk(spark, sf_dir):
     )
 
 
+def q_funnel(spark, sf_dir):
+    """user → tool → assistant ordered funnel per conversation
+    (operators/funnel.py): conditional min-after-min aggregates on
+    one conv partitioning, strictly-after semantics for determinism
+    on shared timestamps."""
+    from sac2mseed_spark.operators.funnel import funnel_steps
+
+    return funnel_steps(_metrics(spark, sf_dir))
+
+
+def q_utilization(spark, sf_dir):
+    """Gap-threshold active/idle duty cycle per conversation
+    (operators/utilization.py): integer least/greatest sums, one
+    float division."""
+    from sac2mseed_spark.operators.utilization import utilization
+
+    return utilization(_metrics(spark, sf_dir), idle_after_s=UTIL_IDLE_S)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "transcripts": q_transcripts,
@@ -1181,6 +1201,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "term_cooccurrence": q_term_cooccurrence,
         "ohlc_1h": q_ohlc_1h,
         "window_topk": q_window_topk,
+        "funnel": q_funnel,
+        "utilization": q_utilization,
     }
 
 
@@ -2990,6 +3012,48 @@ SELECT window_start_us, rank, conv_id, value
 FROM r WHERE rank <= {TOPK_CONVS}"""
 
 
+def _funnel_sql() -> str:
+    return f"""{_ORACLE_PREFIX},
+s1 AS (
+  SELECT conv_id,
+         min(CASE WHEN role = 'user' THEN ts_us END) AS t1_us
+  FROM m GROUP BY 1
+),
+s2 AS (
+  SELECT m.conv_id, s1.t1_us,
+         min(CASE WHEN m.role = 'tool' AND m.ts_us > s1.t1_us
+                  THEN m.ts_us END) AS t2_us
+  FROM m JOIN s1 USING (conv_id) GROUP BY 1, 2
+),
+s3 AS (
+  SELECT m.conv_id, s2.t1_us, s2.t2_us,
+         min(CASE WHEN m.role = 'assistant' AND m.ts_us > s2.t2_us
+                  THEN m.ts_us END) AS t3_us
+  FROM m JOIN s2 USING (conv_id) GROUP BY 1, 2, 3
+)
+SELECT conv_id, t1_us, t2_us, t3_us,
+       CAST((CASE WHEN t1_us IS NOT NULL THEN 1 ELSE 0 END)
+          + (CASE WHEN t2_us IS NOT NULL THEN 1 ELSE 0 END)
+          + (CASE WHEN t3_us IS NOT NULL THEN 1 ELSE 0 END)
+          AS INTEGER) AS steps_completed
+FROM s3"""
+
+
+def _utilization_sql() -> str:
+    thr = UTIL_IDLE_S * 1_000_000
+    return f"""{_ORACLE_PREFIX},
+g AS (
+  SELECT conv_id, count(latency_us) AS n_gaps,
+         CAST(sum(least(latency_us, {thr})) AS BIGINT) AS active_us,
+         CAST(sum(greatest(latency_us - {thr}, 0)) AS BIGINT) AS idle_us
+  FROM m WHERE latency_us IS NOT NULL GROUP BY 1
+)
+SELECT conv_id, n_gaps, active_us, idle_us,
+       round(CAST(active_us AS DOUBLE)
+             / CAST(active_us + idle_us AS DOUBLE), 6) AS utilization
+FROM g WHERE n_gaps >= 1 AND active_us + idle_us > 0"""
+
+
 def oracle_sql() -> dict[str, str]:
     lo, hi = 1_704_067_200_000_000, 1_704_240_000_000_000
     return {
@@ -3144,4 +3208,6 @@ SELECT * FROM bad UNION ALL SELECT * FROM good""",
         "term_cooccurrence": _term_cooccurrence_sql(),
         "ohlc_1h": _ohlc_sql(),
         "window_topk": _window_topk_sql(),
+        "funnel": _funnel_sql(),
+        "utilization": _utilization_sql(),
     }

@@ -97,6 +97,8 @@ SUITE_QUERIES = [
     "term_cooccurrence",
     "ohlc_1h",
     "window_topk",
+    "funnel",
+    "utilization",
 ]
 
 
