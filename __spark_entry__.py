@@ -510,6 +510,7 @@ ROBUST_MIN_WINDOWS = 8
 COOCCUR_K = 4
 TOPK_CONVS = 3
 UTIL_IDLE_S = 300
+SEASONAL_TAU = 3.0
 
 
 def q_anomaly_zscore(spark, sf_dir):
@@ -1122,6 +1123,23 @@ def q_utilization(spark, sf_dir):
     return utilization(_metrics(spark, sf_dir), idle_after_s=UTIL_IDLE_S)
 
 
+def q_seasonal_anomaly(spark, sf_dir):
+    """Hour-of-day baseline anomalies on 1h window latency seconds
+    (operators/seasonal_anomaly.py): 24-row integer baseline,
+    broadcast join back, canonical float z — no second shuffle."""
+    from sac2mseed_spark.operators.seasonal_anomaly import (
+        seasonal_anomalies,
+    )
+
+    t1h = rollup_from_turns(_metrics(spark, sf_dir), "1h").withColumn(
+        "lat_s",
+        F.floor(F.col("sum_latency_us") / F.lit(1000000.0)).cast("long"),
+    )
+    return seasonal_anomalies(
+        t1h, value_col="lat_s", tau=SEASONAL_TAU, min_per_hod=24
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "transcripts": q_transcripts,
@@ -1203,6 +1221,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_topk": q_window_topk,
         "funnel": q_funnel,
         "utilization": q_utilization,
+        "seasonal_anomaly": q_seasonal_anomaly,
     }
 
 
@@ -3054,6 +3073,33 @@ SELECT conv_id, n_gaps, active_us, idle_us,
 FROM g WHERE n_gaps >= 1 AND active_us + idle_us > 0"""
 
 
+def _seasonal_anomaly_sql() -> str:
+    m_ = "CAST(s AS DOUBLE)/CAST(n AS DOUBLE)"
+    var = f"CAST(ss AS DOUBLE)/CAST(n AS DOUBLE) - ({m_})*({m_})"
+    z = f"(CAST(value AS DOUBLE) - ({m_})) / sqrt({var})"
+    return f"""{_ORACLE_PREFIX},
+t1h AS ({_tier_body_sql('1h')}),
+v AS (
+  SELECT conv_id, window_start_us,
+         CAST((window_start_us // 3600000000) % 24 AS INTEGER) AS hod,
+         CAST(floor(sum_latency_us / 1000000.0) AS BIGINT) AS value
+  FROM t1h
+),
+bl AS (
+  SELECT hod, count(*) AS n, CAST(sum(value) AS BIGINT) AS s,
+         CAST(sum(value*value) AS BIGINT) AS ss
+  FROM v GROUP BY 1
+),
+j AS (
+  SELECT v.conv_id, v.window_start_us, v.hod, v.value,
+         round({z}, 6) AS z
+  FROM v JOIN bl USING (hod)
+  WHERE bl.n >= 24 AND ({var}) > 0
+)
+SELECT conv_id, window_start_us, hod, value, z
+FROM j WHERE abs(z) >= {SEASONAL_TAU}"""
+
+
 def oracle_sql() -> dict[str, str]:
     lo, hi = 1_704_067_200_000_000, 1_704_240_000_000_000
     return {
@@ -3210,4 +3256,5 @@ SELECT * FROM bad UNION ALL SELECT * FROM good""",
         "window_topk": _window_topk_sql(),
         "funnel": _funnel_sql(),
         "utilization": _utilization_sql(),
+        "seasonal_anomaly": _seasonal_anomaly_sql(),
     }

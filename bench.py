@@ -99,6 +99,7 @@ SUITE_QUERIES = [
     "window_topk",
     "funnel",
     "utilization",
+    "seasonal_anomaly",
 ]
 
 
