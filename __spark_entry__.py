@@ -1140,6 +1140,19 @@ def q_seasonal_anomaly(spark, sf_dir):
     )
 
 
+def q_dispersion_stats(spark, sf_dir):
+    """Exact quartile spread + crest factor of 1h window latency
+    seconds (operators/dispersion.py): one sort aggregate per conv;
+    quarter-integer quantiles are bit-equal across engines."""
+    from sac2mseed_spark.operators.dispersion import dispersion_stats
+
+    t1h = rollup_from_turns(_metrics(spark, sf_dir), "1h").withColumn(
+        "lat_s",
+        F.floor(F.col("sum_latency_us") / F.lit(1000000.0)).cast("long"),
+    )
+    return dispersion_stats(t1h, value_col="lat_s", min_windows=4)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "transcripts": q_transcripts,
@@ -1222,6 +1235,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel": q_funnel,
         "utilization": q_utilization,
         "seasonal_anomaly": q_seasonal_anomaly,
+        "dispersion_stats": q_dispersion_stats,
     }
 
 
@@ -3100,6 +3114,28 @@ SELECT conv_id, window_start_us, hod, value, z
 FROM j WHERE abs(z) >= {SEASONAL_TAU}"""
 
 
+def _dispersion_stats_sql() -> str:
+    return f"""{_ORACLE_PREFIX},
+t1h AS ({_tier_body_sql('1h')}),
+v AS (SELECT conv_id,
+             CAST(floor(sum_latency_us / 1000000.0) AS BIGINT) AS value
+      FROM t1h),
+g AS (
+  SELECT conv_id, count(*) AS n_windows,
+         quantile_cont(value, 0.25) AS q1,
+         quantile_cont(value, 0.75) AS q3,
+         CAST(sum(value) AS BIGINT) AS s,
+         max(value) AS peak
+  FROM v GROUP BY 1
+)
+SELECT conv_id, n_windows, q1, q3, q3 - q1 AS iqr,
+       round(CAST(s AS DOUBLE) / CAST(n_windows AS DOUBLE), 6) AS mean,
+       peak,
+       round(CAST(peak AS DOUBLE)
+             / (CAST(s AS DOUBLE) / CAST(n_windows AS DOUBLE)), 6) AS par
+FROM g WHERE n_windows >= 4 AND s > 0"""
+
+
 def oracle_sql() -> dict[str, str]:
     lo, hi = 1_704_067_200_000_000, 1_704_240_000_000_000
     return {
@@ -3257,4 +3293,5 @@ SELECT * FROM bad UNION ALL SELECT * FROM good""",
         "funnel": _funnel_sql(),
         "utilization": _utilization_sql(),
         "seasonal_anomaly": _seasonal_anomaly_sql(),
+        "dispersion_stats": _dispersion_stats_sql(),
     }

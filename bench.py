@@ -100,6 +100,7 @@ SUITE_QUERIES = [
     "funnel",
     "utilization",
     "seasonal_anomaly",
+    "dispersion_stats",
 ]
 
 
