@@ -460,3 +460,74 @@ def stream_zscore_anomalies(
     return tier_stream.groupBy("conv_id").applyInPandasWithState(
         fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
     )
+
+
+def stream_funnel(
+    turns: DataFrame,
+    steps: tuple = ("user", "tool", "assistant"),
+) -> DataFrame:
+    """Streaming twin of operators/funnel.funnel_steps.
+
+    Per conv_id the state is just the first-completion timestamp of
+    each step — len(steps) longs, independent of conversation length.
+    Each micro-batch advances the step machine with vectorized
+    conditional minima (the batch operator's min-after-min, evaluated
+    over state + batch): a step k completes at the smallest batch
+    ts with role == steps[k] strictly after t_{k-1}.
+
+    On append-ordered delivery (ts monotone across batches) this
+    equals the batch funnel exactly: any turn that could complete
+    step k arrives no earlier than the batch that set t_{k-1}, so
+    dropping previous batches loses no candidates (tests assert the
+    last emitted row per conv equals funnel_steps). Out-of-order
+    delivery belongs to the batch heal path, like every stateful
+    operator in this module.
+
+    Emits a row per conv per micro-batch IN WHICH ITS STATE ADVANCED
+    (append mode) — downstream keeps the max-steps_completed row per
+    conv, or treats the stream as a funnel-progress event log.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    if len(steps) < 2:
+        raise ValueError(f"need >= 2 steps, got {list(steps)}")
+    n_steps = len(steps)
+
+    t_cols = ", ".join(f"t{i}_us long" for i in range(1, n_steps + 1))
+    out_schema = f"conv_id string, {t_cols}, steps_completed int"
+    state_schema = ", ".join(f"t{i} long" for i in range(1, n_steps + 1))
+
+    def fn(key, pdfs, state: GroupState):
+        conv_id = key[0]
+        parts = [p for p in pdfs if len(p)]
+        if not parts:
+            return
+        pdf = pd.concat(parts, ignore_index=True)
+        roles = pdf["role"]
+        ts = pdf["ts_us"]
+        t = list(state.get) if state.exists else [None] * n_steps
+        changed = False
+        for k in range(n_steps):
+            if t[k] is not None:
+                continue
+            cand = ts[roles == steps[k]]
+            if k > 0:
+                cand = cand[cand > t[k - 1]]
+            if len(cand) == 0:
+                break
+            t[k] = int(cand.min())
+            changed = True
+        state.update(tuple(t))
+        if changed:
+            done = sum(1 for x in t if x is not None)
+            row = {"conv_id": conv_id}
+            row.update(
+                {f"t{i + 1}_us": t[i] for i in range(n_steps)}
+            )
+            row["steps_completed"] = done
+            yield pd.DataFrame([row])
+
+    return turns.groupBy("conv_id").applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
