@@ -110,3 +110,22 @@ def test_window_topk_two_phase_shape(spark):
     n_ex = len(re.findall(r"\(\d+\) Exchange", plan))
     assert n_ex == 3, f"window_topk plan has {n_ex} exchanges"
     assert "SortMergeJoin" not in plan
+
+
+def test_single_aggregate_operators_stay_joinless(spark):
+    # dispersion_stats and utilization are one-aggregate operators:
+    # metrics lag exchange + their own groupBy, nothing else
+    for key in ("dispersion_stats", "utilization"):
+        plan = _plan(spark, key)
+        n_ex = len(re.findall(r"\(\d+\) Exchange", plan))
+        assert n_ex <= 2, f"{key} plan has {n_ex} exchanges"
+        assert "Join" not in plan, key
+
+
+def test_funnel_and_seasonal_join_backs_never_sortmerge_at_sf(spark):
+    # per-conv/per-hod summaries must broadcast at test scale; a
+    # SortMergeJoin here means a lost broadcast hint or exploded side
+    for key in ("funnel", "seasonal_anomaly"):
+        plan = _plan(spark, key)
+        assert "SortMergeJoin" not in plan, key
+        assert "BroadcastHashJoin" in plan, key
