@@ -1153,6 +1153,22 @@ def q_dispersion_stats(spark, sf_dir):
     return dispersion_stats(t1h, value_col="lat_s", min_windows=4)
 
 
+def q_weekly_growth(spark, sf_dir):
+    """Week-over-week corpus growth (operators/growth.py): one global
+    hash aggregate to weeks-count rows, lag over the tiny result."""
+    from sac2mseed_spark.operators.growth import weekly_growth
+
+    return weekly_growth(_metrics(spark, sf_dir))
+
+
+def q_verbosity_drift(spark, sf_dir):
+    """Per-conversation OLS of token_count on turn_idx (operators/
+    drift.py): integer normal equations, two float divisions."""
+    from sac2mseed_spark.operators.drift import verbosity_drift
+
+    return verbosity_drift(_metrics(spark, sf_dir), min_turns=8)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "transcripts": q_transcripts,
@@ -1236,6 +1252,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "utilization": q_utilization,
         "seasonal_anomaly": q_seasonal_anomaly,
         "dispersion_stats": q_dispersion_stats,
+        "weekly_growth": q_weekly_growth,
+        "verbosity_drift": q_verbosity_drift,
     }
 
 
@@ -3136,6 +3154,43 @@ SELECT conv_id, n_windows, q1, q3, q3 - q1 AS iqr,
 FROM g WHERE n_windows >= 4 AND s > 0"""
 
 
+def _weekly_growth_sql() -> str:
+    wk = 7 * 86_400_000_000
+    return f"""{_ORACLE_PREFIX},
+g AS (
+  SELECT CAST(floor(ts_us / {wk}.0) AS BIGINT) * {wk} AS week_start_us,
+         count(*) AS n_turns,
+         CAST(sum(token_count) AS BIGINT) AS sum_tokens
+  FROM m GROUP BY 1
+),
+l AS (
+  SELECT *, lag(sum_tokens) OVER (ORDER BY week_start_us) AS prev
+  FROM g
+)
+SELECT week_start_us, n_turns, sum_tokens,
+       CASE WHEN prev > 0 THEN
+         round(CAST(sum_tokens - prev AS DOUBLE)
+               / CAST(prev AS DOUBLE), 6) END AS growth
+FROM l"""
+
+
+def _verbosity_drift_sql() -> str:
+    den = "CAST(n*sxx - sx*sx AS DOUBLE)"
+    return f"""{_ORACLE_PREFIX},
+g AS (
+  SELECT conv_id, count(*) AS n,
+         CAST(sum(turn_idx) AS BIGINT) AS sx,
+         CAST(sum(token_count) AS BIGINT) AS sy,
+         CAST(sum(turn_idx * token_count) AS BIGINT) AS sxy,
+         CAST(sum(CAST(turn_idx AS BIGINT) * turn_idx) AS BIGINT) AS sxx
+  FROM m GROUP BY 1
+)
+SELECT conv_id, n AS n_turns,
+       round(CAST(n*sxy - sx*sy AS DOUBLE) / {den}, 6) AS slope,
+       round(CAST(sy*sxx - sx*sxy AS DOUBLE) / {den}, 6) AS intercept
+FROM g WHERE n >= 8"""
+
+
 def oracle_sql() -> dict[str, str]:
     lo, hi = 1_704_067_200_000_000, 1_704_240_000_000_000
     return {
@@ -3294,4 +3349,6 @@ SELECT * FROM bad UNION ALL SELECT * FROM good""",
         "utilization": _utilization_sql(),
         "seasonal_anomaly": _seasonal_anomaly_sql(),
         "dispersion_stats": _dispersion_stats_sql(),
+        "weekly_growth": _weekly_growth_sql(),
+        "verbosity_drift": _verbosity_drift_sql(),
     }

@@ -101,6 +101,8 @@ SUITE_QUERIES = [
     "utilization",
     "seasonal_anomaly",
     "dispersion_stats",
+    "weekly_growth",
+    "verbosity_drift",
 ]
 
 
