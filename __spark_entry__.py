@@ -1169,6 +1169,26 @@ def q_verbosity_drift(spark, sf_dir):
     return verbosity_drift(_metrics(spark, sf_dir), min_turns=8)
 
 
+def q_role_mix_daily(spark, sf_dir):
+    """Daily role-mix composition shares (operators/rolemix.py): one
+    hash aggregate to (day, role); per-day totals from a window over
+    that tiny result."""
+    from sac2mseed_spark.operators.rolemix import role_mix_daily
+
+    return role_mix_daily(_metrics(spark, sf_dir))
+
+
+def q_lexical_diversity(spark, sf_dir):
+    """Per-conversation type-token ratio (operators/lexical.py):
+    explode once, totals + distinct-types on one conv partitioning,
+    one float division."""
+    from sac2mseed_spark.operators.lexical import lexical_diversity
+
+    return lexical_diversity(
+        transcripts_from_events(spark, sf_dir), min_tokens=20
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "transcripts": q_transcripts,
@@ -1254,6 +1274,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dispersion_stats": q_dispersion_stats,
         "weekly_growth": q_weekly_growth,
         "verbosity_drift": q_verbosity_drift,
+        "role_mix_daily": q_role_mix_daily,
+        "lexical_diversity": q_lexical_diversity,
     }
 
 
@@ -3191,6 +3213,49 @@ SELECT conv_id, n AS n_turns,
 FROM g WHERE n >= 8"""
 
 
+def _role_mix_daily_sql() -> str:
+    d = 86_400_000_000
+    return f"""{_ORACLE_PREFIX},
+g AS (
+  SELECT CAST(floor(ts_us / {d}.0) AS BIGINT) * {d} AS day_start_us,
+         role, count(*) AS n_turns,
+         CAST(sum(token_count) AS BIGINT) AS sum_tokens
+  FROM m GROUP BY 1, 2
+),
+t AS (
+  SELECT *,
+         CAST(sum(n_turns) OVER (PARTITION BY day_start_us) AS BIGINT)
+           AS tt,
+         CAST(sum(sum_tokens) OVER (PARTITION BY day_start_us) AS BIGINT)
+           AS tk
+  FROM g
+)
+SELECT day_start_us, role, n_turns, sum_tokens,
+       CASE WHEN tt > 0 THEN
+         round(CAST(n_turns AS DOUBLE) / CAST(tt AS DOUBLE), 6)
+       END AS turn_share,
+       CASE WHEN tk > 0 THEN
+         round(CAST(sum_tokens AS DOUBLE) / CAST(tk AS DOUBLE), 6)
+       END AS token_share
+FROM t"""
+
+
+def _lexical_diversity_sql() -> str:
+    toks = _TOKENS_SQL.format(t="text")
+    return f"""{_ORACLE_PREFIX},
+terms AS (SELECT conv_id, unnest({toks}) AS term FROM m),
+tot AS (SELECT conv_id, count(*) AS n_tokens FROM terms GROUP BY 1),
+ty AS (
+  SELECT conv_id, count(*) AS n_types
+  FROM (SELECT DISTINCT conv_id, term FROM terms) GROUP BY 1
+)
+SELECT tot.conv_id, tot.n_tokens, ty.n_types,
+       round(CAST(ty.n_types AS DOUBLE)
+             / CAST(tot.n_tokens AS DOUBLE), 6) AS ttr
+FROM tot JOIN ty USING (conv_id)
+WHERE tot.n_tokens >= 20"""
+
+
 def oracle_sql() -> dict[str, str]:
     lo, hi = 1_704_067_200_000_000, 1_704_240_000_000_000
     return {
@@ -3351,4 +3416,6 @@ SELECT * FROM bad UNION ALL SELECT * FROM good""",
         "dispersion_stats": _dispersion_stats_sql(),
         "weekly_growth": _weekly_growth_sql(),
         "verbosity_drift": _verbosity_drift_sql(),
+        "role_mix_daily": _role_mix_daily_sql(),
+        "lexical_diversity": _lexical_diversity_sql(),
     }

@@ -103,6 +103,8 @@ SUITE_QUERIES = [
     "dispersion_stats",
     "weekly_growth",
     "verbosity_drift",
+    "role_mix_daily",
+    "lexical_diversity",
 ]
 
 
