@@ -1189,6 +1189,15 @@ def q_lexical_diversity(spark, sf_dir):
     )
 
 
+def q_tool_stall(spark, sf_dir):
+    """Per-tool resume-latency bill (operators/toolstall.py): two more
+    lag() columns on the existing conv exchange, then a tiny per-tool
+    aggregate — floored-seconds integer sums."""
+    from sac2mseed_spark.operators.toolstall import tool_stall
+
+    return tool_stall(_metrics(spark, sf_dir), min_uses=3)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "transcripts": q_transcripts,
@@ -1276,6 +1285,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "verbosity_drift": q_verbosity_drift,
         "role_mix_daily": q_role_mix_daily,
         "lexical_diversity": q_lexical_diversity,
+        "tool_stall": q_tool_stall,
     }
 
 
@@ -3256,6 +3266,36 @@ FROM tot JOIN ty USING (conv_id)
 WHERE tot.n_tokens >= 20"""
 
 
+def _tool_stall_sql() -> str:
+    return f"""{_ORACLE_PREFIX},
+p AS (
+  SELECT conv_id, latency_us,
+         lag(role) OVER
+           (PARTITION BY conv_id ORDER BY turn_idx, ts_us) AS prev_role,
+         lag(tool) OVER
+           (PARTITION BY conv_id ORDER BY turn_idx, ts_us) AS prev_tool
+  FROM m
+),
+s AS (
+  SELECT prev_tool AS tool,
+         CAST(floor(latency_us / 1000000.0) AS BIGINT) AS stall_s
+  FROM p
+  WHERE prev_role = 'tool' AND prev_tool IS NOT NULL
+        AND latency_us IS NOT NULL
+),
+g AS (
+  SELECT tool, count(*) AS n_stalls,
+         CAST(sum(stall_s) AS BIGINT) AS s,
+         max(stall_s) AS max_stall_s
+  FROM s GROUP BY 1
+)
+SELECT tool, n_stalls,
+       round(CAST(s AS DOUBLE) / CAST(n_stalls AS DOUBLE), 6)
+         AS mean_stall_s,
+       max_stall_s
+FROM g WHERE n_stalls >= 3"""
+
+
 def oracle_sql() -> dict[str, str]:
     lo, hi = 1_704_067_200_000_000, 1_704_240_000_000_000
     return {
@@ -3418,4 +3458,5 @@ SELECT * FROM bad UNION ALL SELECT * FROM good""",
         "verbosity_drift": _verbosity_drift_sql(),
         "role_mix_daily": _role_mix_daily_sql(),
         "lexical_diversity": _lexical_diversity_sql(),
+        "tool_stall": _tool_stall_sql(),
     }

@@ -105,6 +105,7 @@ SUITE_QUERIES = [
     "verbosity_drift",
     "role_mix_daily",
     "lexical_diversity",
+    "tool_stall",
 ]
 
 
