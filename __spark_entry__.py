@@ -1198,6 +1198,14 @@ def q_tool_stall(spark, sf_dir):
     return tool_stall(_metrics(spark, sf_dir), min_uses=3)
 
 
+def q_conv_outcomes(spark, sf_dir):
+    """Who got the last word (operators/outcomes.py): reversed
+    row_number folded into the conv aggregate — no join-back."""
+    from sac2mseed_spark.operators.outcomes import conv_outcomes
+
+    return conv_outcomes(_metrics(spark, sf_dir))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "transcripts": q_transcripts,
@@ -1286,6 +1294,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "role_mix_daily": q_role_mix_daily,
         "lexical_diversity": q_lexical_diversity,
         "tool_stall": q_tool_stall,
+        "conv_outcomes": q_conv_outcomes,
     }
 
 
@@ -3296,6 +3305,27 @@ SELECT tool, n_stalls,
 FROM g WHERE n_stalls >= 3"""
 
 
+def _conv_outcomes_sql() -> str:
+    return f"""{_ORACLE_PREFIX},
+r AS (
+  SELECT conv_id, ts_us, role,
+         row_number() OVER
+           (PARTITION BY conv_id
+            ORDER BY turn_idx DESC, ts_us DESC) AS rnd
+  FROM m
+),
+g AS (
+  SELECT conv_id, count(*) AS n_turns,
+         max(ts_us) - min(ts_us) AS duration_us,
+         max(CASE WHEN rnd = 1 THEN role END) AS last_role
+  FROM r GROUP BY 1
+)
+SELECT conv_id, n_turns, duration_us, last_role,
+       CAST(CASE WHEN last_role = 'assistant' THEN 1 ELSE 0 END
+            AS INTEGER) AS ended_answered
+FROM g"""
+
+
 def oracle_sql() -> dict[str, str]:
     lo, hi = 1_704_067_200_000_000, 1_704_240_000_000_000
     return {
@@ -3459,4 +3489,5 @@ SELECT * FROM bad UNION ALL SELECT * FROM good""",
         "role_mix_daily": _role_mix_daily_sql(),
         "lexical_diversity": _lexical_diversity_sql(),
         "tool_stall": _tool_stall_sql(),
+        "conv_outcomes": _conv_outcomes_sql(),
     }

@@ -106,6 +106,7 @@ SUITE_QUERIES = [
     "role_mix_daily",
     "lexical_diversity",
     "tool_stall",
+    "conv_outcomes",
 ]
 
 

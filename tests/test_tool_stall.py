@@ -42,3 +42,26 @@ def test_tool_stall_attributes_next_gap(spark):
     assert s["mean_stall_s"] == round((7 + 1 + 1 + 1) / 4, 6)
     with pytest.raises(ValueError):
         tool_stall(m, min_uses=0)
+
+
+def test_conv_outcomes_last_word(spark):
+    from sac2mseed_spark.operators.outcomes import conv_outcomes
+
+    m = spark.createDataFrame(
+        [
+            ("A", 0, 0, "user", None, None),
+            ("A", 1, 9 * S, "assistant", None, 9 * S),
+            ("B", 0, 0, "user", None, None),
+            ("B", 1, 4 * S, "tool", "search", 4 * S),
+        ],
+        "conv_id string, turn_idx int, ts_us long, role string,"
+        " tool string, latency_us long",
+    )
+    got = {r["conv_id"]: r for r in conv_outcomes(m).collect()}
+    a, b = got["A"], got["B"]
+    assert (a["last_role"], a["ended_answered"], a["duration_us"]) == (
+        "assistant", 1, 9 * S,
+    )
+    assert (b["last_role"], b["ended_answered"], b["n_turns"]) == (
+        "tool", 0, 2,
+    )
