@@ -1206,6 +1206,15 @@ def q_conv_outcomes(spark, sf_dir):
     return conv_outcomes(_metrics(spark, sf_dir))
 
 
+def q_conv_dedup(spark, sf_dir):
+    """Whole-conversation exact dedup (operators/convdedup.py):
+    per-turn 60-bit digests combined order-defined — 8 bytes per turn
+    on the wire, never text."""
+    from sac2mseed_spark.operators.convdedup import conv_dedup
+
+    return conv_dedup(transcripts_from_events(spark, sf_dir))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "transcripts": q_transcripts,
@@ -1295,6 +1304,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lexical_diversity": q_lexical_diversity,
         "tool_stall": q_tool_stall,
         "conv_outcomes": q_conv_outcomes,
+        "conv_dedup": q_conv_dedup,
     }
 
 
@@ -3326,6 +3336,20 @@ SELECT conv_id, n_turns, duration_us, last_role,
 FROM g"""
 
 
+def _conv_dedup_sql() -> str:
+    from sac2mseed_spark.functions.hashing import h60_sql
+
+    agg = "string_agg(CAST(h AS VARCHAR), ',' ORDER BY turn_idx)"
+    return f"""{_ORACLE_PREFIX},
+t AS (SELECT conv_id, turn_idx, {h60_sql('text')} AS h FROM m),
+c AS (
+  SELECT conv_id, {h60_sql(agg)} AS conv_h60
+  FROM t GROUP BY 1
+)
+SELECT min(conv_id) AS keep_conv, count(*) AS n_dups, conv_h60
+FROM c GROUP BY conv_h60"""
+
+
 def oracle_sql() -> dict[str, str]:
     lo, hi = 1_704_067_200_000_000, 1_704_240_000_000_000
     return {
@@ -3490,4 +3514,5 @@ SELECT * FROM bad UNION ALL SELECT * FROM good""",
         "lexical_diversity": _lexical_diversity_sql(),
         "tool_stall": _tool_stall_sql(),
         "conv_outcomes": _conv_outcomes_sql(),
+        "conv_dedup": _conv_dedup_sql(),
     }

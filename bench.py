@@ -107,6 +107,7 @@ SUITE_QUERIES = [
     "lexical_diversity",
     "tool_stall",
     "conv_outcomes",
+    "conv_dedup",
 ]
 
 
