@@ -129,3 +129,21 @@ def test_funnel_and_seasonal_join_backs_never_sortmerge_at_sf(spark):
         plan = _plan(spark, key)
         assert "SortMergeJoin" not in plan, key
         assert "BroadcastHashJoin" in plan, key
+
+
+def test_round5_analytics_exchange_budgets(spark):
+    # narrow-shuffle budgets for the newest analytics family; a refactor
+    # that sneaks in a join-back or loses a shared partitioning fails here
+    budgets = {
+        "tool_stall": 3,
+        "conv_outcomes": 2,
+        "conv_dedup": 3,
+        "role_mix_daily": 2,
+        "weekly_growth": 2,
+        "lexical_diversity": 3,
+    }
+    for key, budget in budgets.items():
+        plan = _plan(spark, key)
+        n_ex = len(re.findall(r"\(\d+\) Exchange", plan))
+        assert n_ex <= budget, f"{key}: {n_ex} exchanges > budget {budget}"
+        assert "SortMergeJoin" not in plan, key
