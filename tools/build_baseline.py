@@ -447,7 +447,7 @@ cluster run shuffles nothing between executors and the emulation is
 faithful up to the shared-hardware envelope above. All sizes run the
 warm -> barrier -> timed protocol (scaling_bench.exec_worker).
 
-{family_md("Primary gate: 1 -> 4 executors x 2 cores", "gate2_1_to_4.json", "2 -> 8", f"triad {membw.get('eff_2_to_8')}, ALU ~linear — INSIDE the envelope", "Half-size replication archived in `gate2_1_to_4_t_scale8.json` (117.9M turns): validated same-window pairs 0.787, 1.004, and 0.417 — the last an episode-annotated round (its 4N leg ran 2.42x the fastest valid replication with EVERY stage uniformly inflated at zero steal while its N leg landed inside the clean 505-521s band; phase-tagged sampler in `diag_p0819_1644.json` shows the 4N leg at host sys-frac 0.084 vs 0.002 on the N leg — the round-4 verdict's sys-frac signature REPRODUCED at 12g heaps with a cache-resident 6 GiB fixture, ruling out the heap-sizing/page-cache-eviction hypothesis and pinning the excess kernel time on the host episode itself). The two clean pairs hold the gate at half the fixture, so the scored number is not a fixture-size artifact; the third documents that the time-correlated host capacity episodes seen at full width (fullbox section) strike the 2-core 4N config too — and, per the no-discard rule, it stays in the archive dispersion rather than being filtered.")}
+{family_md("Primary gate: 1 -> 4 executors x 2 cores", "gate2_1_to_4.json", "2 -> 8", f"triad {membw.get('eff_2_to_8')}, ALU ~linear — INSIDE the envelope", "Half-size replication archived in `gate2_1_to_4_t_scale8.json` (117.9M turns): validated same-window pairs 0.787, 1.004, 0.417, and 0.815. The 0.417 round is episode-annotated (its 4N leg ran 2.42x the fastest valid replication with EVERY stage uniformly inflated at zero steal while its N leg landed inside the clean 505-521s band; phase-tagged sampler in `diag_p0819_1644.json` shows the 4N leg at host sys-frac 0.084 vs 0.002 on the N leg — the round-4 verdict's sys-frac signature REPRODUCED at 12g heaps with a cache-resident 6 GiB fixture, ruling out the heap-sizing/page-cache-eviction hypothesis and pinning the excess kernel time on the host episode itself). The fourth pair (`p0819_1713`, `diag_p0819_1713.json`) is the back-to-back repeat of that exact config 29 minutes later: 4N leg 140.96s at sys-frac 0.010 vs the episode round's 305.13s at 0.084 — a 2.17x wall swing on identical code, input, heap, and cache state, directly demonstrating that the dispersion is host-episode time-correlation and not an engine property. Three of four valid pairs hold the gate at half the fixture, so the scored number is not a fixture-size artifact; the episode round documents that the time-correlated host capacity episodes seen at full width (fullbox section) strike the 2-core 4N config too — and, per the no-discard rule, it stays in the archive dispersion rather than being filtered.")}
 
 {family_md("4-core node spec: 1 -> 4 executors x 4 cores", "gate_1_to_4.json", "4 -> 16", f"triad {membw.get('eff_4_to_16')} — OUTSIDE the envelope; see §0 irreducibility experiment", "t_scale8 evidence archived in `gate_1_to_4_t_scale8.json` (best paired 0.437 at 12g; the §0 pack-kernel experiment shows the 4->16-busy-core DRAM cliff alone caps this family near 0.5 regardless of engine quality, which is why the inside-envelope 2-core spec above is the scored gate).")}
 
