@@ -1215,6 +1215,37 @@ def q_conv_dedup(spark, sf_dir):
     return conv_dedup(transcripts_from_events(spark, sf_dir))
 
 
+def q_layout_audit(spark, sf_dir):
+    """Z-order vs time-sorted file-layout audit (operators/layout.py):
+    per-file conversation/hour clustering stats — all-integer, the
+    footer-stats-pruning evidence behind the tier write order."""
+    from sac2mseed_spark.operators.layout import layout_audit
+
+    t = transcripts_from_events(spark, sf_dir).select(
+        "conv_id", "turn_idx", ts_us_col("ts").alias("ts_us")
+    )
+    return layout_audit(t, n_files=64)
+
+
+def q_dup_ngram_coverage(spark, sf_dir):
+    """Per-document duplicated-shingle coverage (operators/dedup.py
+    dup_ngram_coverage): the exact-substring-dedup curation metric;
+    one reused sh_h exchange, only 8-byte digests shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.dup_ngram_coverage(_aug_docs(docs), k=3)
+
+
+def q_repetition_loops(spark, sf_dir):
+    """Degenerate-loop detection (operators/repetition.py): consecutive
+    same-role turn token-set Jaccard; digests shuffle, text never
+    does."""
+    from sac2mseed_spark.operators.repetition import repetition_loops
+
+    return repetition_loops(
+        transcripts_from_events(spark, sf_dir), threshold=0.9, min_pairs=3
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "transcripts": q_transcripts,
@@ -1305,6 +1336,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tool_stall": q_tool_stall,
         "conv_outcomes": q_conv_outcomes,
         "conv_dedup": q_conv_dedup,
+        "repetition_loops": q_repetition_loops,
+        "dup_ngram_coverage": q_dup_ngram_coverage,
+        "layout_audit": q_layout_audit,
     }
 
 
@@ -3350,6 +3384,113 @@ SELECT min(conv_id) AS keep_conv, count(*) AS n_dups, conv_h60
 FROM c GROUP BY conv_h60"""
 
 
+def _layout_audit_sql(n_files: int = 64) -> str:
+    from sac2mseed_spark.functions.zorder import (
+        conv_bucket_sql,
+        hour_bucket_sql,
+        interleave_sql,
+    )
+
+    def leg(layout: str, order: str) -> str:
+        return f"""SELECT '{layout}' AS layout,
+       CAST(ntile({n_files}) OVER (ORDER BY {order}) AS INTEGER) AS file_id,
+       conv_id, hb, zkey
+FROM z"""
+
+    body = (
+        "SELECT layout, file_id, count(*) AS n_rows,\n"
+        "       count(DISTINCT conv_id) AS n_convs,\n"
+        "       count(DISTINCT hb) AS n_hours,\n"
+        "       max(zkey) - min(zkey) AS z_span\n"
+        "FROM f GROUP BY 1, 2"
+    )
+    return f"""{_ORACLE_PREFIX},
+keyed AS (
+  SELECT conv_id, turn_idx, ts_us,
+         {conv_bucket_sql('conv_id')} AS cb,
+         {hour_bucket_sql('ts_us')} AS hb
+  FROM m
+),
+z AS (SELECT *, {interleave_sql('cb', 'hb')} AS zkey FROM keyed),
+f AS (
+  {leg('zorder', 'zkey, conv_id, ts_us, turn_idx')}
+  UNION ALL
+  {leg('time', 'ts_us, conv_id, turn_idx')}
+)
+{body}"""
+
+
+def _dup_ngram_coverage_sql() -> str:
+    return f"""
+WITH {_AUG_DOCS_SQL},
+dfreq AS (SELECT sh_h, count(*) AS df FROM shs GROUP BY 1)
+SELECT doc AS doc_id, count(*) AS n_shingles,
+       CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+       round(CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE), 6) AS dup_frac
+FROM shs JOIN dfreq USING (sh_h)
+GROUP BY 1"""
+
+
+def _repetition_loops_sql(threshold: float = 0.9, min_pairs: int = 3) -> str:
+    from sac2mseed_spark.functions.hashing import h60_sql
+
+    toks = _TOKENS_SQL.format(t="text")
+    return f"""{_ORACLE_PREFIX},
+t AS (
+  SELECT conv_id, role,
+         row_number() OVER
+           (PARTITION BY conv_id, role ORDER BY turn_idx, ts_us) AS rn,
+         {toks} AS toks
+  FROM m
+),
+terms AS (
+  SELECT DISTINCT conv_id, role, rn, {h60_sql('term')} AS term_h
+  FROM (SELECT conv_id, role, rn, unnest(toks) AS term FROM t)
+),
+sz AS (
+  SELECT b.conv_id, b.role, b.rn, coalesce(c.n, 0) AS sz
+  FROM (SELECT conv_id, role, rn FROM t) b
+  LEFT JOIN (SELECT conv_id, role, rn, count(*) AS n
+             FROM terms GROUP BY 1, 2, 3) c
+    USING (conv_id, role, rn)
+),
+pairs AS (
+  SELECT conv_id, role, rn AS p, sz + sz_next AS sz_sum
+  FROM (SELECT conv_id, role, rn, sz,
+               lead(sz) OVER
+                 (PARTITION BY conv_id, role ORDER BY rn) AS sz_next
+        FROM sz)
+  WHERE sz_next IS NOT NULL
+),
+inter AS (
+  SELECT a.conv_id, a.role, a.rn AS p, count(*) AS n_inter
+  FROM terms a JOIN terms b
+    ON a.conv_id = b.conv_id AND a.role = b.role
+       AND b.rn = a.rn + 1 AND a.term_h = b.term_h
+  GROUP BY 1, 2, 3
+),
+scored AS (
+  SELECT pairs.conv_id, pairs.role,
+         CASE WHEN pairs.sz_sum - coalesce(inter.n_inter, 0) = 0
+              THEN CAST(1.0 AS DOUBLE)
+              ELSE round(CAST(coalesce(inter.n_inter, 0) AS DOUBLE)
+                   / CAST(pairs.sz_sum - coalesce(inter.n_inter, 0)
+                          AS DOUBLE), 6) END AS jacc
+  FROM pairs LEFT JOIN inter
+    ON pairs.conv_id = inter.conv_id AND pairs.role = inter.role
+       AND pairs.p = inter.p
+)
+SELECT conv_id, role, count(*) AS n_pairs,
+       CAST(sum(CASE WHEN jacc >= {threshold} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_repeats,
+       round(CAST(sum(CASE WHEN jacc >= {threshold} THEN 1 ELSE 0 END)
+                  AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS repeat_ratio,
+       max(jacc) AS max_jaccard
+FROM scored GROUP BY 1, 2
+HAVING count(*) >= {min_pairs}"""
+
+
 def oracle_sql() -> dict[str, str]:
     lo, hi = 1_704_067_200_000_000, 1_704_240_000_000_000
     return {
@@ -3515,4 +3656,7 @@ SELECT * FROM bad UNION ALL SELECT * FROM good""",
         "tool_stall": _tool_stall_sql(),
         "conv_outcomes": _conv_outcomes_sql(),
         "conv_dedup": _conv_dedup_sql(),
+        "repetition_loops": _repetition_loops_sql(),
+        "dup_ngram_coverage": _dup_ngram_coverage_sql(),
+        "layout_audit": _layout_audit_sql(),
     }

@@ -108,6 +108,9 @@ SUITE_QUERIES = [
     "tool_stall",
     "conv_outcomes",
     "conv_dedup",
+    "repetition_loops",
+    "dup_ngram_coverage",
+    "layout_audit",
 ]
 
 

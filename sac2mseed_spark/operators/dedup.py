@@ -414,3 +414,59 @@ def simhash_pairs(
         )
         .distinct()
     )
+
+
+def dup_ngram_coverage(
+    docs: DataFrame,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document duplicated n-gram coverage across the corpus.
+
+    The span-level curation metric behind exact-substring dedup (Lee et
+    al. 2022, "Deduplicating Training Data Makes Language Models
+    Better"): for every document, what fraction of its distinct k-word
+    shingles also appears in at least one OTHER document? A page that
+    is 95% boilerplate scores ~0.95 even when no single whole-document
+    duplicate exists — the signal pair-level dedup (ngram_jaccard_pairs)
+    structurally misses once the shared text is spread across many
+    partners.
+
+    Cross-document only by construction: the base relation is the
+    DISTINCT (doc, shingle-digest) inverted index, so document frequency
+    df >= 2 means "some other document has it", and a doc repeating its
+    own shingle internally does not self-inflate.
+
+    dup_frac is a ratio of two exact integers, ONE float division
+    rounded 6dp.
+
+    Scale shape: shares ``_shingle_sets`` with the dedup family — text
+    is digested map-side and only 8-byte shingle hashes shuffle. The df
+    aggregate and the join back land on the SAME sh_h partitioning (one
+    wide exchange, reused), then one hash aggregate by doc. No df cap:
+    unlike the pair join (df² blowup), coverage cost is linear in index
+    size, and dropping stop-shingles would understate boilerplate — the
+    very thing this measures.
+    """
+    ss = _shingle_sets(docs, id_col, text_col, k)
+    dfreq = ss.groupBy("sh_h").agg(F.count(F.lit(1)).alias("df"))
+    dup = F.sum((F.col("df") >= 2).cast("long"))
+    return (
+        ss.join(dfreq, "sh_h")
+        .groupBy(F.col("doc").alias(id_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            dup.alias("n_dup"),
+        )
+        .select(
+            id_col,
+            "n_shingles",
+            "n_dup",
+            F.round(
+                F.col("n_dup").cast("double")
+                / F.col("n_shingles").cast("double"),
+                6,
+            ).alias("dup_frac"),
+        )
+    )

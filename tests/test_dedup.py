@@ -80,3 +80,29 @@ def test_cap_none_matches_legacy_semantics(spark):
     # shingle sets: doc1 {abc,bcd,cde,def}, doc2 {abc,bcd,cde,deg};
     # inter=3, union=5
     assert rows[0]["inter"] == 3 and abs(rows[0]["jaccard"] - 0.6) < 1e-9
+
+
+def test_dup_ngram_coverage_closed_form(spark):
+    from sac2mseed_spark.operators.dedup import dup_ngram_coverage
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d"),        # "a b c" shared with doc 2 -> 1/2
+            (2, "a b c x"),        # 1/2
+            (3, "z z z z z"),      # 1 distinct shingle, internal only -> 0
+            (4, "q"),              # whole-text fallback, shared with 5
+            (5, "q"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_shingles"], r["n_dup"], r["dup_frac"])
+        for r in dup_ngram_coverage(docs, k=3).collect()
+    }
+    assert got == {
+        1: (2, 1, 0.5),
+        2: (2, 1, 0.5),
+        3: (1, 0, 0.0),
+        4: (1, 1, 1.0),
+        5: (1, 1, 1.0),
+    }

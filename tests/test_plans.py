@@ -147,3 +147,25 @@ def test_round5_analytics_exchange_budgets(spark):
         n_ex = len(re.findall(r"\(\d+\) Exchange", plan))
         assert n_ex <= budget, f"{key}: {n_ex} exchanges > budget {budget}"
         assert "SortMergeJoin" not in plan, key
+
+
+def test_curation_and_layout_exchange_budgets(spark):
+    # repetition_loops: rn window + token distinct + size/lead windows +
+    # intersection equi-join + final agg — all on int digests, text never
+    # shuffles. dup_ngram_coverage: one sh_h exchange reused (distinct ->
+    # dfreq -> join) + per-doc agg. layout_audit: two global ntile sorts
+    # (audit contract) + two aggs + union legs.
+    budgets = {
+        "repetition_loops": 8,
+        "dup_ngram_coverage": 4,
+        "layout_audit": 8,
+    }
+    for key, budget in budgets.items():
+        plan = _plan(spark, key)
+        n_ex = len(re.findall(r"\(\d+\) Exchange", plan))
+        assert n_ex <= budget, f"{key}: {n_ex} exchanges > budget {budget}"
+        assert "SortMergeJoin" not in plan, key
+    # text bytes must not cross the repetition shuffle: the explode side
+    # projects digests before any exchange
+    plan = _plan(spark, "repetition_loops")
+    assert "term_h" in plan
