@@ -29,11 +29,40 @@ def with_partition_cols(tier_df: DataFrame) -> DataFrame:
     )
 
 
-def write_tier(tier_df: DataFrame, path: str, mode: str = "append") -> None:
-    """Write a (possibly packed) tier table partitioned for pruning."""
-    with_partition_cols(tier_df).write.mode(mode).partitionBy(
-        "tier", "window_day"
-    ).parquet(path)
+def write_tier(
+    tier_df: DataFrame,
+    path: str,
+    mode: str = "append",
+    zorder: bool = False,
+    n_files: int | None = None,
+) -> None:
+    """Write a (possibly packed) tier table partitioned for pruning.
+
+    With ``zorder=True`` the rows inside each (tier, window_day)
+    partition are range-clustered by the Morton key over (conv bucket,
+    hour bucket) — functions/zorder.py — so parquet footer min/max
+    stats on conv_id AND window_start_us both prune at file
+    granularity. This is the scale-safe write shape (range exchange +
+    local sort, no global order point); operators/layout.layout_audit
+    quantifies the win. ``n_files`` bounds the range partition count
+    (defaults to the session shuffle parallelism).
+    """
+    df = with_partition_cols(tier_df)
+    if zorder:
+        from ..functions.zorder import zorder_key
+
+        parts = n_files or int(
+            df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+        )
+        df = (
+            df.withColumn(
+                "_zkey", zorder_key(F.col("conv_id"), F.col("window_start_us"))
+            )
+            .repartitionByRange(parts, "tier", "window_day", "_zkey")
+            .sortWithinPartitions("tier", "window_day", "_zkey")
+            .drop("_zkey")
+        )
+    df.write.mode(mode).partitionBy("tier", "window_day").parquet(path)
 
 
 def read_tier(

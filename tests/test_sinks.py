@@ -53,3 +53,47 @@ def test_partition_pruning(spark, tier_store):
     assert df.count() == 0
     sel = read_tier(spark, path, tier="1h")
     assert sel.count() == packed.count()
+
+
+def test_zorder_write_clusters_conversations(spark, tmp_path):
+    """zorder=True must produce files that each touch FEW conversations
+    (footer-prunable for conv predicates), where a time-clustered write
+    of the same rows puts every conversation in every file."""
+    from sac2mseed_spark.functions.zorder import HOUR_US
+
+    rows = [
+        (f"conv_{c}", "1h", h * HOUR_US, 1)
+        for c in range(8)
+        for h in range(48)
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, tier string, window_start_us long, n_points int"
+    )
+
+    def convs_per_file(path):
+        back = spark.read.parquet(path).withColumn(
+            "f", F.input_file_name()
+        )
+        stats = (
+            back.groupBy("f")
+            .agg(F.countDistinct("conv_id").alias("nc"))
+            .collect()
+        )
+        return [r["nc"] for r in stats]
+
+    zp = str(tmp_path / "z")
+    write_tier(df, zp, mode="overwrite", zorder=True, n_files=4)
+    # time-clustered control: range-partition by hour only
+    tp = str(tmp_path / "t")
+    from sac2mseed_spark.sinks.tier_tables import with_partition_cols
+
+    with_partition_cols(df).repartitionByRange(
+        4, "window_start_us"
+    ).write.mode("overwrite").partitionBy("tier", "window_day").parquet(tp)
+
+    z_stats, t_stats = convs_per_file(zp), convs_per_file(tp)
+    # every time-file sees all 8 convs; z files must average strictly fewer
+    assert max(t_stats) == 8
+    assert sum(z_stats) / len(z_stats) < 8
+    # and the z write still round-trips completely
+    assert spark.read.parquet(zp).count() == len(rows)
