@@ -21,13 +21,13 @@ those rounded values — engine-order-proof on both sides.
 
 Scale shape: text never shuffles. Tokens are exploded once, digested
 to 60-bit ints (functions/hashing.h60), and deduped per turn; the
-consecutive-pair intersection is an EQUI-join on (conv, role, term_h,
-pair rank) — the right side joins on rank-1, so Catalyst plans a
-plain shuffled hash join keyed by digest, never a range or theta
-join. Pair sizes come from a (conv, role) window over per-turn type
-counts (one narrow exchange), and zero-intersection pairs survive via
-a left join from the pair frame. At 10^12 turns every shuffled row is
-~32 bytes of ints.
+consecutive-pair intersection needs NO self-join — one lead() window
+over the distinct (conv, role, term_h) stream marks every term whose
+next appearance rank is rank+1, so the token relation crosses exactly
+one wide exchange. Pair sizes come from a (conv, role) window over
+per-turn type counts (one narrow exchange), and zero-intersection
+pairs survive via a left join from the pair frame. At 10^12 turns
+every shuffled row is ~32 bytes of ints.
 """
 
 from __future__ import annotations
@@ -99,19 +99,16 @@ def repetition_loops(
         )
     )
 
-    # intersection counts: term present in turn p AND p+1 (equi-join on
-    # the digest; right side keyed on rn-1 keeps it an equi predicate)
+    # intersection counts WITHOUT a self-join: a term is in the
+    # intersection of pair p exactly when its next appearance rank (per
+    # conv/role/term) is p+1, so ONE lead() window over the distinct
+    # term stream replaces re-shuffling it twice through an equi-join —
+    # the same linear-pass-over-sorted-runs idea as the reference's
+    # adjacent-trace matching (libmseed traceutils.c mst_findadjacent)
+    wt = Window.partitionBy("conv_id", "role", "term_h").orderBy("rn")
     inter = (
-        terms.alias("a")
-        .join(
-            terms.select(
-                "conv_id",
-                "role",
-                (F.col("rn") - 1).alias("rn"),
-                "term_h",
-            ).alias("b"),
-            ["conv_id", "role", "rn", "term_h"],
-        )
+        terms.withColumn("next_rn", F.lead("rn").over(wt))
+        .filter(F.col("next_rn") == F.col("rn") + 1)
         .groupBy("conv_id", "role", F.col("rn").alias("p"))
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )

@@ -150,13 +150,14 @@ def test_round5_analytics_exchange_budgets(spark):
 
 
 def test_curation_and_layout_exchange_budgets(spark):
-    # repetition_loops: rn window + token distinct + size/lead windows +
-    # intersection equi-join + final agg — all on int digests, text never
-    # shuffles. dup_ngram_coverage: one sh_h exchange reused (distinct ->
-    # dfreq -> join) + per-doc agg. layout_audit: two global ntile sorts
-    # (audit contract) + two aggs + union legs.
+    # repetition_loops: rn window + token distinct + ONE lead() window
+    # for intersections (no self-join) + size windows + final agg — all
+    # on int digests, text never shuffles. dup_ngram_coverage: one sh_h
+    # exchange reused (distinct -> dfreq -> join) + per-doc agg.
+    # layout_audit: two global ntile sorts (audit contract) + two aggs +
+    # union legs.
     budgets = {
-        "repetition_loops": 8,
+        "repetition_loops": 6,
         "dup_ngram_coverage": 4,
         "layout_audit": 8,
     }
