@@ -531,3 +531,94 @@ def stream_funnel(
     return turns.groupBy("conv_id").applyInPandasWithState(
         fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
     )
+
+
+def stream_repetition(
+    transcripts: DataFrame, threshold: float = 0.9
+) -> DataFrame:
+    """Streaming twin of operators/repetition.repetition_loops, at pair
+    granularity: a live degenerate-loop monitor that scores every
+    arriving turn against the PREVIOUS turn of the same (conv, role).
+
+    Token sets are digested JVM-side before the stateful step — the
+    state and the wire carry only sorted 60-bit digest arrays (identical
+    to the batch operator's term_h universe), never text. Per (conv_id,
+    role) the state is one previous digest set plus its rank: bounded by
+    a single turn's vocabulary, independent of conversation length.
+
+    Emits one row per consecutive pair with the SAME integer
+    intersection/union the batch operator computes; jacc is the raw
+    IEEE quotient (the batch query applies 6dp HALF_UP presentation
+    rounding on top — same contract as stream_zscore_anomalies, since
+    Python round() is half-even and would diverge on exact ties). On
+    append-ordered delivery the emitted pair log aggregates exactly to
+    repetition_loops' (n_pairs, n_repeats) — tests assert. Out-of-order
+    turns belong to the batch heal path, like every stateful operator
+    in this module.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+
+    from ..functions.hashing import h60
+    from ..functions.text import ws_tokens
+
+    digested = transcripts.select(
+        "conv_id",
+        "role",
+        "turn_idx",
+        F.array_sort(
+            F.array_distinct(
+                F.transform(ws_tokens("text"), lambda x: h60(x))
+            )
+        ).alias("terms"),
+    )
+
+    out_schema = (
+        "conv_id string, role string, p long, n_inter long, "
+        "n_union long, jacc double"
+    )
+    state_schema = "prev array<long>, rn long"
+
+    def fn(key, pdfs, state: GroupState):
+        conv_id, role = key
+        parts = [p for p in pdfs if len(p)]
+        if not parts:
+            return
+        pdf = pd.concat(parts, ignore_index=True).sort_values(
+            "turn_idx", kind="mergesort"
+        )
+        if state.exists:
+            prev_list, rn = state.get
+            prev = np.asarray(prev_list, dtype=np.int64)
+        else:
+            prev, rn = None, 0
+        rows = []
+        for terms in pdf["terms"]:
+            cur = np.asarray(terms, dtype=np.int64)
+            rn += 1
+            if prev is not None:
+                n_inter = int(np.intersect1d(prev, cur).size)
+                n_union = int(prev.size + cur.size - n_inter)
+                jacc = 1.0 if n_union == 0 else n_inter / n_union
+                rows.append(
+                    {
+                        "conv_id": conv_id,
+                        "role": role,
+                        "p": rn - 1,
+                        "n_inter": n_inter,
+                        "n_union": n_union,
+                        "jacc": jacc,
+                    }
+                )
+            prev = cur
+        state.update((prev.tolist(), rn))
+        if rows:
+            yield pd.DataFrame(rows)
+
+    return digested.groupBy("conv_id", "role").applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
