@@ -1246,6 +1246,15 @@ def q_repetition_loops(spark, sf_dir):
     )
 
 
+def q_corpus_mix(spark, sf_dir):
+    """Corpus mixture accounting (operators/mix.py): docs + tokens by
+    (lang, source), shares from a window over the tiny aggregate —
+    the baseline table stratified_sample rates are chosen against."""
+    from sac2mseed_spark.operators.mix import corpus_mix
+
+    return corpus_mix(load_table(spark, sf_dir, "documents"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "transcripts": q_transcripts,
@@ -1339,6 +1348,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_loops": q_repetition_loops,
         "dup_ngram_coverage": q_dup_ngram_coverage,
         "layout_audit": q_layout_audit,
+        "corpus_mix": q_corpus_mix,
     }
 
 
@@ -3420,6 +3430,26 @@ f AS (
 {body}"""
 
 
+def _corpus_mix_sql() -> str:
+    ntok = "len(" + _TOKENS_SQL.format(t="text") + ")"
+    return f"""
+WITH g AS (
+  SELECT lang, source, count(*) AS n_docs,
+         CAST(sum({ntok}) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY 1, 2
+),
+t AS (
+  SELECT *,
+         CAST(sum(n_docs) OVER () AS BIGINT) AS td,
+         CAST(sum(n_tokens) OVER () AS BIGINT) AS tt
+  FROM g
+)
+SELECT lang, source, n_docs, n_tokens,
+       round(CAST(n_docs AS DOUBLE) / CAST(td AS DOUBLE), 6) AS doc_share,
+       round(CAST(n_tokens AS DOUBLE) / CAST(tt AS DOUBLE), 6) AS token_share
+FROM t"""
+
+
 def _dup_ngram_coverage_sql() -> str:
     return f"""
 WITH {_AUG_DOCS_SQL},
@@ -3659,4 +3689,5 @@ SELECT * FROM bad UNION ALL SELECT * FROM good""",
         "repetition_loops": _repetition_loops_sql(),
         "dup_ngram_coverage": _dup_ngram_coverage_sql(),
         "layout_audit": _layout_audit_sql(),
+        "corpus_mix": _corpus_mix_sql(),
     }

@@ -111,6 +111,7 @@ SUITE_QUERIES = [
     "repetition_loops",
     "dup_ngram_coverage",
     "layout_audit",
+    "corpus_mix",
 ]
 
 

@@ -160,6 +160,10 @@ def test_curation_and_layout_exchange_budgets(spark):
         "repetition_loops": 6,
         "dup_ngram_coverage": 4,
         "layout_audit": 8,
+        # corpus_mix: map-side partial agg -> ONE hash exchange to
+        # (lang, source) + ONE single-partition window over that tiny
+        # aggregate; the corpus is never re-scanned for totals
+        "corpus_mix": 2,
     }
     for key, budget in budgets.items():
         plan = _plan(spark, key)
