@@ -1255,6 +1255,15 @@ def q_corpus_mix(spark, sf_dir):
     return corpus_mix(load_table(spark, sf_dir, "documents"))
 
 
+def q_source_overlap(spark, sf_dir):
+    """Cross-source shingle-overlap matrix (operators/mix.py): distinct
+    (source, digest) self-join, per-source totals broadcast back —
+    shows which sources re-crawl each other before mixture weighting."""
+    from sac2mseed_spark.operators.mix import source_overlap
+
+    return source_overlap(load_table(spark, sf_dir, "documents"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "transcripts": q_transcripts,
@@ -1349,6 +1358,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_ngram_coverage": q_dup_ngram_coverage,
         "layout_audit": q_layout_audit,
         "corpus_mix": q_corpus_mix,
+        "source_overlap": q_source_overlap,
     }
 
 
@@ -3450,6 +3460,33 @@ SELECT lang, source, n_docs, n_tokens,
 FROM t"""
 
 
+def _source_overlap_sql() -> str:
+    toks = _TOKENS_SQL.format(t="text")
+    return f"""
+WITH tok AS (SELECT source, {toks} AS toks FROM documents),
+sh AS (
+  SELECT source, unnest(
+    CASE WHEN len(toks) >= 3
+         THEN [array_to_string(toks[i:i+2], ' ') FOR i IN range(1, len(toks) - 1)]
+         ELSE [array_to_string(toks, ' ')] END) AS sh
+  FROM tok
+),
+d AS (SELECT DISTINCT source, {h60_sql('sh')} AS h FROM sh),
+per AS (SELECT source, count(*) AS n FROM d GROUP BY 1),
+p AS (
+  SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_shared
+  FROM d a JOIN d b ON a.h = b.h AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT src_a, src_b, n_shared,
+       pa.n AS n_a, pb.n AS n_b,
+       round(CAST(n_shared AS DOUBLE) / least(pa.n, pb.n), 6)
+         AS overlap_share
+FROM p
+JOIN per pa ON pa.source = p.src_a
+JOIN per pb ON pb.source = p.src_b"""
+
+
 def _dup_ngram_coverage_sql() -> str:
     return f"""
 WITH {_AUG_DOCS_SQL},
@@ -3690,4 +3727,5 @@ SELECT * FROM bad UNION ALL SELECT * FROM good""",
         "dup_ngram_coverage": _dup_ngram_coverage_sql(),
         "layout_audit": _layout_audit_sql(),
         "corpus_mix": _corpus_mix_sql(),
+        "source_overlap": _source_overlap_sql(),
     }

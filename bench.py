@@ -112,6 +112,7 @@ SUITE_QUERIES = [
     "dup_ngram_coverage",
     "layout_audit",
     "corpus_mix",
+    "source_overlap",
 ]
 
 

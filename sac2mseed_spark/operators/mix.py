@@ -20,7 +20,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.text import token_count
+from ..functions.hashing import h60
+from ..functions.text import shingles, token_count
 
 
 def corpus_mix(
@@ -50,4 +51,69 @@ def corpus_mix(
         F.round(
             F.col("n_tokens").cast("double") / F.sum("n_tokens").over(w), 6
         ).alias("token_share"),
+    )
+
+
+def source_overlap(
+    docs: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+    k: int = 3,
+) -> DataFrame:
+    """Cross-source content-overlap matrix over k-word shingles.
+
+    For every unordered source pair (src_a < src_b): distinct shingle
+    digests present in BOTH sources, each side's own distinct-shingle
+    count, and the overlap as a share of the smaller side
+    (containment). The table that says "source B is 40% a re-crawl of
+    source A" before a mixture weight double-counts them — shingle
+    (not whole-doc) granularity so partial copies and boilerplate
+    count too.
+
+    Scale shape: only (source, 60-bit digest) rows ever shuffle, and
+    only ONCE — one map-side-combining collect_set to per-digest
+    source sets (set size is bounded by |sources|, a small fixed
+    dimension, so the agg state is tiny). Pairs come from a double
+    posexplode of each sorted set — no self-join, at most
+    C(|sources|, 2) rows per digest — and both the per-source totals
+    and the pair counts are aggregates over that one exchange's
+    output; full text never leaves the scan. The |sources|-row totals
+    broadcast back onto the pair rows.
+    """
+    sets = (
+        docs.select(
+            F.col(source_col).alias("source"),
+            F.explode(shingles(text_col, k)).alias("sh"),
+        )
+        .select("source", h60("sh").alias("sh_h"))
+        .groupBy("sh_h")
+        .agg(F.array_sort(F.collect_set("source")).alias("srcs"))
+    )
+    per = sets.select(F.explode("srcs").alias("source")).groupBy(
+        "source"
+    ).agg(F.count(F.lit(1)).alias("n_texts"))
+    pairs = (
+        sets.filter(F.size("srcs") >= 2)
+        .select("srcs", F.posexplode("srcs").alias("i", "src_a"))
+        .select("src_a", "i", F.posexplode("srcs").alias("j", "src_b"))
+        .filter(F.col("i") < F.col("j"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    pa = F.broadcast(per.select(F.col("source").alias("src_a"), F.col("n_texts").alias("n_a")))
+    pb = F.broadcast(per.select(F.col("source").alias("src_b"), F.col("n_texts").alias("n_b")))
+    return (
+        pairs.join(pa, "src_a")
+        .join(pb, "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "n_shared",
+            "n_a",
+            "n_b",
+            F.round(
+                F.col("n_shared").cast("double") / F.least("n_a", "n_b"),
+                6,
+            ).alias("overlap_share"),
+        )
     )

@@ -1,10 +1,10 @@
-"""Corpus mixture accounting: closed-form share checks.
+"""Corpus mixture accounting and source overlap: closed-form checks.
 
 Engine-vs-oracle parity at sf0.01 is covered by the driver harness
-(`corpus_mix`).
+(`corpus_mix`, `source_overlap`).
 """
 
-from sac2mseed_spark.operators.mix import corpus_mix
+from sac2mseed_spark.operators.mix import corpus_mix, source_overlap
 
 
 def test_corpus_mix_shares(spark):
@@ -33,3 +33,40 @@ def test_corpus_mix_shares(spark):
     assert blank["token_share"] == 0.0
     assert sum(r["doc_share"] for r in got.values()) == 1.0
     assert sum(r["token_share"] for r in got.values()) == 1.0
+
+
+def test_source_overlap_containment(spark):
+    # A: shingles {a b c, b c d}; B: copies doc 1 plus fresh text ->
+    # shares both of A's shingles; C: disjoint
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d", "en", "A"),
+            (2, "a b c d", "en", "B"),
+            (3, "x y z w v", "en", "B"),
+            (4, "p q r", "en", "C"),
+        ],
+        "doc_id long, text string, lang string, source string",
+    )
+    got = {
+        (r["src_a"], r["src_b"]): r
+        for r in source_overlap(docs, k=3).collect()
+    }
+    ab = got[("A", "B")]
+    # A has 2 distinct shingles, B has 2 + 3 = 5; all of A is inside B
+    assert (ab["n_a"], ab["n_b"], ab["n_shared"]) == (2, 5, 2)
+    assert ab["overlap_share"] == 1.0
+    # C shares nothing with anyone -> no rows at all for C
+    assert ("A", "C") not in got and ("B", "C") not in got
+
+
+def test_source_overlap_short_doc_single_shingle(spark):
+    # docs under k tokens fall back to the whole text as one shingle
+    docs = spark.createDataFrame(
+        [(1, "hi there", "en", "A"), (2, "hi there", "en", "B")],
+        "doc_id long, text string, lang string, source string",
+    )
+    rows = source_overlap(docs, k=3).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["src_a"], r["src_b"], r["n_shared"]) == ("A", "B", 1)
+    assert r["overlap_share"] == 1.0

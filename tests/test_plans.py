@@ -164,6 +164,11 @@ def test_curation_and_layout_exchange_budgets(spark):
         # (lang, source) + ONE single-partition window over that tiny
         # aggregate; the corpus is never re-scanned for totals
         "corpus_mix": 2,
+        # source_overlap: the (source, digest) collect_set subtree is
+        # shared by three static branches (6 Exchange nodes printed)
+        # but AQE stage reuse collapses the identical shuffles at
+        # runtime — asserted separately below
+        "source_overlap": 6,
     }
     for key, budget in budgets.items():
         plan = _plan(spark, key)
@@ -174,3 +179,17 @@ def test_curation_and_layout_exchange_budgets(spark):
     # projects digests before any exchange
     plan = _plan(spark, "repetition_loops")
     assert "term_h" in plan
+
+
+def test_source_overlap_runtime_exchange_reuse(spark):
+    # the per-digest source-set shuffle feeds three consumers (pairs,
+    # n_a totals, n_b totals); AQE must materialize it ONCE — a lost
+    # reuse means the corpus is scanned and shuffled three times
+    df = E.queries()["source_overlap"](spark, SF)
+    df.collect()
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert plan.count("ReusedExchange") >= 3, plan.count("ReusedExchange")
