@@ -1255,6 +1255,18 @@ def q_corpus_mix(spark, sf_dir):
     return corpus_mix(load_table(spark, sf_dir, "documents"))
 
 
+def q_shingle_novelty(spark, sf_dir):
+    """Per-day never-seen-before shingle share (operators/novelty.py):
+    one collect_set exchange of (digest, day) pairs, explode + per-day
+    agg — the crawl-loop-vs-growth freshness curve."""
+    from sac2mseed_spark.operators.novelty import shingle_novelty
+
+    t = transcripts_from_events(spark, sf_dir).select(
+        "text", ts_us_col("ts").alias("ts_us")
+    )
+    return shingle_novelty(t)
+
+
 def q_source_overlap(spark, sf_dir):
     """Cross-source shingle-overlap matrix (operators/mix.py): distinct
     (source, digest) self-join, per-source totals broadcast back —
@@ -1359,6 +1371,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "layout_audit": q_layout_audit,
         "corpus_mix": q_corpus_mix,
         "source_overlap": q_source_overlap,
+        "shingle_novelty": q_shingle_novelty,
     }
 
 
@@ -3460,6 +3473,34 @@ SELECT lang, source, n_docs, n_tokens,
 FROM t"""
 
 
+def _shingle_novelty_sql() -> str:
+    d = 86_400_000_000
+    toks = _TOKENS_SQL.format(t="text")
+    return f"""{_ORACLE_PREFIX},
+tok AS (
+  SELECT CAST(floor(ts_us / {d}.0) AS BIGINT) * {d} AS day_start_us,
+         {toks} AS toks
+  FROM m
+),
+sh AS (
+  SELECT day_start_us, unnest(
+    CASE WHEN len(toks) >= 3
+         THEN [array_to_string(toks[i:i+2], ' ') FOR i IN range(1, len(toks) - 1)]
+         ELSE [array_to_string(toks, ' ')] END) AS sh
+  FROM tok
+),
+d AS (SELECT DISTINCT day_start_us, {h60_sql('sh')} AS sh_h FROM sh),
+f AS (SELECT sh_h, min(day_start_us) AS first_day FROM d GROUP BY 1)
+SELECT d.day_start_us,
+       count(*) AS n_shingles,
+       CAST(sum(CASE WHEN f.first_day = d.day_start_us THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_new,
+       round(CAST(sum(CASE WHEN f.first_day = d.day_start_us THEN 1 ELSE 0 END)
+                  AS DOUBLE) / count(*), 6) AS novelty_share
+FROM d JOIN f USING (sh_h)
+GROUP BY 1"""
+
+
 def _source_overlap_sql() -> str:
     toks = _TOKENS_SQL.format(t="text")
     return f"""
@@ -3728,4 +3769,5 @@ SELECT * FROM bad UNION ALL SELECT * FROM good""",
         "layout_audit": _layout_audit_sql(),
         "corpus_mix": _corpus_mix_sql(),
         "source_overlap": _source_overlap_sql(),
+        "shingle_novelty": _shingle_novelty_sql(),
     }

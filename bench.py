@@ -113,6 +113,7 @@ SUITE_QUERIES = [
     "layout_audit",
     "corpus_mix",
     "source_overlap",
+    "shingle_novelty",
 ]
 
 

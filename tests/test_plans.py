@@ -169,6 +169,9 @@ def test_curation_and_layout_exchange_budgets(spark):
         # but AQE stage reuse collapses the identical shuffles at
         # runtime — asserted separately below
         "source_overlap": 6,
+        # shingle_novelty: ONE collect_set exchange of (digest, day)
+        # pairs + ONE per-day agg over the exploded tiny frame
+        "shingle_novelty": 2,
     }
     for key, budget in budgets.items():
         plan = _plan(spark, key)
