@@ -1255,6 +1255,33 @@ def q_corpus_mix(spark, sf_dir):
     return corpus_mix(load_table(spark, sf_dir, "documents"))
 
 
+def _aug_transcripts(t: DataFrame) -> DataFrame:
+    """Transcripts plus deterministic near-duplicate conversations:
+    convs with numeric suffix < 20 get a replay variant (conv_id ~v)
+    missing its first two turns — guarantees conv_near_dup true
+    positives at every sf (the _aug_docs idiom on conversations)."""
+    n = F.element_at(F.split("conv_id", "_"), 2).cast("int")
+    variants = (
+        t.filter((n < 20) & (F.col("turn_idx") >= 2))
+        .withColumn("conv_id", F.concat(F.col("conv_id"), F.lit("~v")))
+    )
+    return t.unionByName(variants)
+
+
+def q_conv_near_dup(spark, sf_dir):
+    """Near-duplicate conversation pairs (operators/convdedup.py):
+    Jaccard over distinct turn-digest sets, df-capped inverted index —
+    the order-free complement of conv_dedup's exact digest."""
+    from sac2mseed_spark.operators.convdedup import conv_near_dup
+
+    t = _aug_transcripts(
+        transcripts_from_events(spark, sf_dir).select(
+            "conv_id", "turn_idx", "text"
+        )
+    )
+    return conv_near_dup(t, threshold=0.9)
+
+
 def q_shingle_novelty(spark, sf_dir):
     """Per-day never-seen-before shingle share (operators/novelty.py):
     one collect_set exchange of (digest, day) pairs, explode + per-day
@@ -1372,6 +1399,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_mix": q_corpus_mix,
         "source_overlap": q_source_overlap,
         "shingle_novelty": q_shingle_novelty,
+        "conv_near_dup": q_conv_near_dup,
     }
 
 
@@ -3417,6 +3445,30 @@ SELECT min(conv_id) AS keep_conv, count(*) AS n_dups, conv_h60
 FROM c GROUP BY conv_h60"""
 
 
+def _conv_near_dup_sql(threshold: float = 0.9, df_cap: int = 256) -> str:
+    return f"""{_ORACLE_PREFIX},
+augt AS (
+  SELECT conv_id, text FROM m
+  UNION ALL
+  SELECT conv_id || '~v' AS conv_id, text FROM m
+  WHERE CAST(split_part(conv_id, '_', 2) AS INTEGER) < 20
+    AND turn_idx >= 2
+),
+ts AS (SELECT DISTINCT conv_id, {h60_sql('text')} AS turn_h FROM augt),
+dfreq AS (SELECT turn_h, count(*) AS c FROM ts GROUP BY 1),
+kept AS (SELECT ts.* FROM ts JOIN dfreq USING (turn_h) WHERE dfreq.c <= {df_cap}),
+sz AS (SELECT conv_id, count(*) AS sz FROM kept GROUP BY 1),
+p AS (
+  SELECT l.conv_id AS a, r.conv_id AS b, count(*) AS inter
+  FROM kept l JOIN kept r ON l.turn_h = r.turn_h AND l.conv_id < r.conv_id
+  GROUP BY 1, 2
+)
+SELECT a, b, inter,
+       round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 6) AS jaccard
+FROM p JOIN sz sa ON sa.conv_id = p.a JOIN sz sb ON sb.conv_id = p.b
+WHERE round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 6) >= {threshold}"""
+
+
 def _layout_audit_sql(n_files: int = 64) -> str:
     from sac2mseed_spark.functions.zorder import (
         conv_bucket_sql,
@@ -3770,4 +3822,5 @@ SELECT * FROM bad UNION ALL SELECT * FROM good""",
         "corpus_mix": _corpus_mix_sql(),
         "source_overlap": _source_overlap_sql(),
         "shingle_novelty": _shingle_novelty_sql(),
+        "conv_near_dup": _conv_near_dup_sql(),
     }

@@ -114,6 +114,7 @@ SUITE_QUERIES = [
     "corpus_mix",
     "source_overlap",
     "shingle_novelty",
+    "conv_near_dup",
 ]
 
 

@@ -55,3 +55,72 @@ def conv_dedup(transcripts: DataFrame) -> DataFrame:
         )
         .select("keep_conv", "n_dups", "conv_h60")
     )
+
+
+# Boilerplate turns ("ok", "continue", canned tool acks) appear in huge
+# numbers of conversations; capping a turn digest's conversation
+# frequency bounds the inverted-index self-join exactly as
+# dedup.NGRAM_DF_CAP does for document shingles. A turn shared by more
+# conversations than this carries no pair-discrimination signal anyway.
+CONV_TURN_DF_CAP = 256
+
+
+def conv_near_dup(
+    transcripts: DataFrame,
+    threshold: float = 0.9,
+    df_cap: int | None = CONV_TURN_DF_CAP,
+) -> DataFrame:
+    """Near-duplicate conversation pairs: Jaccard over distinct
+    turn-text digest SETS (order-free — the complement of conv_dedup's
+    order-exact digest; catches replays with dropped/reordered turns).
+
+    Returns (a, b, inter, jaccard) for pairs a < b with jaccard >=
+    threshold over the df-capped turn universe.
+
+    Scale shape is ngram_jaccard_pairs' at conversation granularity:
+    turn texts hash to 8-byte digests map-side, the df cap semi-join
+    lands on the same turn_h partitioning the candidate self-join
+    needs, |inter| and set sizes are exact integers, and the final
+    jaccard is ONE float division rounded 6dp.
+    """
+    ts = transcripts.select(
+        "conv_id", h60("text").alias("turn_h")
+    ).distinct()
+    if df_cap is not None:
+        keep = (
+            ts.groupBy("turn_h")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= df_cap)
+            .select("turn_h")
+        )
+        ts = ts.join(keep, "turn_h", "left_semi")
+    sizes = ts.groupBy("conv_id").agg(F.count(F.lit(1)).alias("sz"))
+    pairs = (
+        ts.alias("l")
+        .join(ts.alias("r"), "turn_h")
+        .filter(F.col("l.conv_id") < F.col("r.conv_id"))
+        .groupBy(
+            F.col("l.conv_id").alias("a"), F.col("r.conv_id").alias("b")
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sza = F.broadcast(
+        sizes.select(F.col("conv_id").alias("a"), F.col("sz").alias("sza"))
+    )
+    szb = F.broadcast(
+        sizes.select(F.col("conv_id").alias("b"), F.col("sz").alias("szb"))
+    )
+    return (
+        pairs.join(sza, "a")
+        .join(szb, "b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter")
+                / (F.col("sza") + F.col("szb") - F.col("inter")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", "inter", "jaccard")
+    )

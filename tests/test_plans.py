@@ -172,6 +172,12 @@ def test_curation_and_layout_exchange_budgets(spark):
         # shingle_novelty: ONE collect_set exchange of (digest, day)
         # pairs + ONE per-day agg over the exploded tiny frame
         "shingle_novelty": 2,
+        # conv_near_dup: the df-capped (conv, turn_h) index subtree is
+        # replicated statically across the self-join sides and the two
+        # size branches (each over the aug-union of transcripts); AQE
+        # reuses the identical stages at runtime (>=10 ReusedExchange
+        # observed) and every exchange carries 8-byte digests
+        "conv_near_dup": 35,
     }
     for key, budget in budgets.items():
         plan = _plan(spark, key)
