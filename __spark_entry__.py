@@ -1282,6 +1282,15 @@ def q_conv_near_dup(spark, sf_dir):
     return conv_near_dup(t, threshold=0.9)
 
 
+def q_source_quality(spark, sf_dir):
+    """Per-source macro quality dashboard (operators/mix.py): one
+    map-side-combining hash aggregate to |sources| rows; every share a
+    ratio of integer sums, all-codegen counting expressions."""
+    from sac2mseed_spark.operators.mix import source_quality
+
+    return source_quality(load_table(spark, sf_dir, "documents"))
+
+
 def q_shingle_novelty(spark, sf_dir):
     """Per-day never-seen-before shingle share (operators/novelty.py):
     one collect_set exchange of (digest, day) pairs, explode + per-day
@@ -1400,6 +1409,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_overlap": q_source_overlap,
         "shingle_novelty": q_shingle_novelty,
         "conv_near_dup": q_conv_near_dup,
+        "source_quality": q_source_quality,
     }
 
 
@@ -3553,6 +3563,38 @@ FROM d JOIN f USING (sh_h)
 GROUP BY 1"""
 
 
+def _source_quality_sql(short_tokens: int = 10) -> str:
+    toks = _TOKENS_SQL.format(t="text")
+    ntok = f"len({toks})"
+    nsw = f"len(list_filter({toks}, t -> list_contains({_STOPWORDS_SQL}, lower(t))))"
+    npunct = "len(regexp_extract_all(text, '[^A-Za-z0-9\\s]'))"
+    return f"""
+WITH g AS (
+  SELECT source, count(*) AS n_docs,
+         CAST(sum({ntok}) AS BIGINT) AS sum_tokens,
+         CAST(sum({npunct}) AS BIGINT) AS sum_punct,
+         CAST(sum(length(text)) AS BIGINT) AS sum_chars,
+         CAST(sum({nsw}) AS BIGINT) AS sum_stopwords,
+         CAST(sum(CASE WHEN {ntok} < {short_tokens} THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_short
+  FROM documents GROUP BY 1
+)
+SELECT source, n_docs, sum_tokens,
+       CASE WHEN n_docs > 0 THEN
+         round(CAST(sum_tokens AS DOUBLE) / CAST(n_docs AS DOUBLE), 6)
+       END AS tokens_per_doc,
+       CASE WHEN sum_chars > 0 THEN
+         round(CAST(sum_punct AS DOUBLE) / CAST(sum_chars AS DOUBLE), 6)
+       END AS punct_share,
+       CASE WHEN sum_tokens > 0 THEN
+         round(CAST(sum_stopwords AS DOUBLE) / CAST(sum_tokens AS DOUBLE), 6)
+       END AS stopword_share,
+       CASE WHEN n_docs > 0 THEN
+         round(CAST(n_short AS DOUBLE) / CAST(n_docs AS DOUBLE), 6)
+       END AS short_doc_share
+FROM g"""
+
+
 def _source_overlap_sql() -> str:
     toks = _TOKENS_SQL.format(t="text")
     return f"""
@@ -3823,4 +3865,5 @@ SELECT * FROM bad UNION ALL SELECT * FROM good""",
         "source_overlap": _source_overlap_sql(),
         "shingle_novelty": _shingle_novelty_sql(),
         "conv_near_dup": _conv_near_dup_sql(),
+        "source_quality": _source_quality_sql(),
     }

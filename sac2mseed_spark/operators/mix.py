@@ -1,4 +1,5 @@
-"""Corpus mixture accounting: docs and tokens by (lang, source).
+"""Corpus composition: mixture accounting, cross-source overlap,
+per-source quality — the tables a mixture-building pass reads first.
 
 The first table every mixture-building pass needs: what does the
 corpus actually contain, in the unit the trainer budgets by (tokens),
@@ -21,7 +22,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.hashing import h60
-from ..functions.text import shingles, token_count
+from ..functions.text import EN_STOPWORDS, shingles, token_count, ws_tokens
 
 
 def corpus_mix(
@@ -116,4 +117,60 @@ def source_overlap(
                 6,
             ).alias("overlap_share"),
         )
+    )
+
+
+SHORT_DOC_TOKENS = 10
+
+
+def source_quality(
+    docs: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+    short_tokens: int = SHORT_DOC_TOKENS,
+) -> DataFrame:
+    """Per-source macro quality dashboard — the filter-threshold table
+    a curation pass reads next to corpus_mix before setting per-source
+    keep rates.
+
+    Returns (source, n_docs, sum_tokens, tokens_per_doc, punct_share,
+    stopword_share, short_doc_share). Every share is a ratio of exact
+    integer sums (MACRO ratios — sum-of-counts over sum-of-counts, not
+    a mean of per-doc ratios, so long docs weigh more, deliberately);
+    ONE float division each, rounded 6dp. Zero denominators yield NULL
+    (both engines' division semantics).
+
+    Scale shape: one hash aggregate with map-side combine collapses
+    the corpus to |sources| rows; per-doc counting expressions are all
+    whole-stage-codegen built-ins, zero Python.
+    """
+    toks = ws_tokens(text_col)
+    n_sw = F.size(
+        F.filter(toks, lambda x: F.lower(x).isin(EN_STOPWORDS))
+    ).cast("long")
+    n_punct = F.regexp_count(
+        F.col(text_col), F.lit("[^A-Za-z0-9\\s]")
+    ).cast("long")
+    agg = docs.groupBy(F.col(source_col).alias("source")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count(text_col)).alias("sum_tokens"),
+        F.sum(n_punct).alias("sum_punct"),
+        F.sum(F.length(text_col).cast("long")).alias("sum_chars"),
+        F.sum(n_sw).alias("sum_stopwords"),
+        F.sum(
+            (token_count(text_col) < short_tokens).cast("long")
+        ).alias("n_short"),
+    )
+    share = lambda num, den: F.when(  # noqa: E731
+        F.col(den) > 0,
+        F.round(F.col(num).cast("double") / F.col(den).cast("double"), 6),
+    )
+    return agg.select(
+        "source",
+        "n_docs",
+        "sum_tokens",
+        share("sum_tokens", "n_docs").alias("tokens_per_doc"),
+        share("sum_punct", "sum_chars").alias("punct_share"),
+        share("sum_stopwords", "sum_tokens").alias("stopword_share"),
+        share("n_short", "n_docs").alias("short_doc_share"),
     )

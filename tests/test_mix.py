@@ -4,7 +4,11 @@ Engine-vs-oracle parity at sf0.01 is covered by the driver harness
 (`corpus_mix`, `source_overlap`).
 """
 
-from sac2mseed_spark.operators.mix import corpus_mix, source_overlap
+from sac2mseed_spark.operators.mix import (
+    corpus_mix,
+    source_overlap,
+    source_quality,
+)
 
 
 def test_corpus_mix_shares(spark):
@@ -70,3 +74,29 @@ def test_source_overlap_short_doc_single_shingle(spark):
     r = rows[0]
     assert (r["src_a"], r["src_b"], r["n_shared"]) == ("A", "B", 1)
     assert r["overlap_share"] == 1.0
+
+
+def test_source_quality_macro_ratios(spark):
+    docs = spark.createDataFrame(
+        [
+            # A: 4 tokens, 1 punct char of 10 chars, 1 stopword, short
+            (1, "the cat, ok", "en", "A"),
+            # A: 6 tokens, 0 punct of 26 chars, 0 stopwords, short
+            (2, "one two three four five six", "en", "A"),
+            # B: empty text
+            (3, "", "en", "B"),
+        ],
+        "doc_id long, text string, lang string, source string",
+    )
+    got = {r["source"]: r for r in source_quality(docs, short_tokens=10).collect()}
+    a = got["A"]
+    assert (a["n_docs"], a["sum_tokens"]) == (2, 9)
+    assert a["tokens_per_doc"] == 4.5
+    assert a["punct_share"] == round(1 / (11 + 27), 6)
+    assert a["stopword_share"] == round(1 / 9, 6)
+    assert a["short_doc_share"] == 1.0
+    b = got["B"]
+    # empty text: zero chars/tokens -> NULL shares, still a short doc
+    assert b["sum_tokens"] == 0
+    assert b["punct_share"] is None and b["stopword_share"] is None
+    assert b["short_doc_share"] == 1.0

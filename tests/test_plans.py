@@ -178,6 +178,9 @@ def test_curation_and_layout_exchange_budgets(spark):
         # reuses the identical stages at runtime (>=10 ReusedExchange
         # observed) and every exchange carries 8-byte digests
         "conv_near_dup": 35,
+        # source_quality: ONE map-side-combining hash agg to |sources|
+        # rows; all counting expressions codegen'd in the scan stage
+        "source_quality": 1,
     }
     for key, budget in budgets.items():
         plan = _plan(spark, key)
