@@ -1282,6 +1282,20 @@ def q_conv_near_dup(spark, sf_dir):
     return conv_near_dup(t, threshold=0.9)
 
 
+def q_conv_dup_clusters(spark, sf_dir):
+    """Conversation duplicate families (operators/convdedup.py): min-
+    label propagation over the conv_near_dup pair graph — the conv-
+    level twin of dedup_clusters."""
+    from sac2mseed_spark.operators.convdedup import conv_dup_clusters
+
+    t = _aug_transcripts(
+        transcripts_from_events(spark, sf_dir).select(
+            "conv_id", "turn_idx", "text"
+        )
+    )
+    return conv_dup_clusters(t, threshold=0.9)
+
+
 def q_source_quality(spark, sf_dir):
     """Per-source macro quality dashboard (operators/mix.py): one
     map-side-combining hash aggregate to |sources| rows; every share a
@@ -1409,6 +1423,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_overlap": q_source_overlap,
         "shingle_novelty": q_shingle_novelty,
         "conv_near_dup": q_conv_near_dup,
+        "conv_dup_clusters": q_conv_dup_clusters,
         "source_quality": q_source_quality,
     }
 
@@ -3563,6 +3578,28 @@ FROM d JOIN f USING (sh_h)
 GROUP BY 1"""
 
 
+def _conv_dup_clusters_sql() -> str:
+    """Connected components over the conv_near_dup pair graph — the
+    same recursive-CTE min-label argument as _dedup_clusters_sql, with
+    the full conv_near_dup statement nested as the pairs CTE."""
+    return f"""
+WITH RECURSIVE pairs AS (
+{_conv_near_dup_sql()}
+),
+edges AS (SELECT a, b FROM pairs UNION SELECT b AS a, a AS b FROM pairs),
+vertices AS (SELECT DISTINCT a AS node FROM edges),
+cc AS (
+  SELECT node, node AS lbl FROM vertices
+  UNION
+  SELECT e.b AS node, c.lbl FROM cc c JOIN edges e ON e.a = c.node
+),
+lab AS (SELECT node, min(lbl) AS cluster_id FROM cc GROUP BY node)
+SELECT node AS conv_id, cluster_id,
+       CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
+FROM lab
+"""
+
+
 def _source_quality_sql(short_tokens: int = 10) -> str:
     toks = _TOKENS_SQL.format(t="text")
     ntok = f"len({toks})"
@@ -3865,5 +3902,6 @@ SELECT * FROM bad UNION ALL SELECT * FROM good""",
         "source_overlap": _source_overlap_sql(),
         "shingle_novelty": _shingle_novelty_sql(),
         "conv_near_dup": _conv_near_dup_sql(),
+        "conv_dup_clusters": _conv_dup_clusters_sql(),
         "source_quality": _source_quality_sql(),
     }

@@ -115,6 +115,7 @@ SUITE_QUERIES = [
     "source_overlap",
     "shingle_novelty",
     "conv_near_dup",
+    "conv_dup_clusters",
     "source_quality",
 ]
 

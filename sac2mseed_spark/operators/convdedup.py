@@ -124,3 +124,20 @@ def conv_near_dup(
         .filter(F.col("jaccard") >= threshold)
         .select("a", "b", "inter", "jaccard")
     )
+
+
+def conv_dup_clusters(
+    transcripts: DataFrame,
+    threshold: float = 0.9,
+    df_cap: int | None = CONV_TURN_DF_CAP,
+    max_iters: int = 25,
+) -> DataFrame:
+    """Conversation duplicate families: connected components over the
+    conv_near_dup pair graph (dedup.components_from_pairs min-label
+    propagation — see its scale notes). Returns (conv_id, cluster_id,
+    cluster_size) for conversations in a family of size >= 2;
+    cluster_id = lexicographically smallest member, the keeper."""
+    from .dedup import components_from_pairs
+
+    pairs = conv_near_dup(transcripts, threshold, df_cap).select("a", "b")
+    return components_from_pairs(pairs, max_iters=max_iters, id_col="conv_id")

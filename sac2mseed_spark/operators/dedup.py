@@ -276,6 +276,15 @@ def dedup_clusters(
     pairs = minhash_lsh_pairs(
         docs, threshold, id_col=id_col, text_col=text_col
     ).select("a", "b")
+    return components_from_pairs(pairs, max_iters=max_iters, id_col=id_col)
+
+
+def components_from_pairs(
+    pairs: DataFrame, max_iters: int = 25, id_col: str = "doc_id"
+) -> DataFrame:
+    """Connected components of an (a, b) pair graph by iterative
+    min-label propagation; the shared engine behind dedup_clusters and
+    conv-level clustering (see the scale notes on dedup_clusters)."""
     # symmetric edge list, materialized once — every round re-reads it
     edges = pairs.unionByName(
         pairs.select(F.col("b").alias("a"), F.col("a").alias("b"))

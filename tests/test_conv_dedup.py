@@ -79,3 +79,20 @@ def test_conv_near_dup_repeated_turns_count_once(spark):
     rows = conv_near_dup(t, threshold=0.5, df_cap=None).collect()
     assert len(rows) == 1
     assert (rows[0]["inter"], rows[0]["jaccard"]) == (1, 1.0)
+
+
+def test_conv_dup_clusters_transitive_family(spark):
+    from sac2mseed_spark.operators.convdedup import conv_dup_clusters
+
+    # chain c1~c2 (8/12 = 0.667), c2~c3 (0.667), but c1 vs c3 only
+    # 6/14 = 0.43 — the component must still merge all three via
+    # label propagation even though c1-c3 is not a direct pair
+    t = spark.createDataFrame(
+        [(f"c{c}", i, f"t{i + 2 * (c - 1)}") for c in (1, 2, 3) for i in range(10)]
+        + [("solo", 0, "unique turn")],
+        "conv_id string, turn_idx int, text string",
+    )
+    rows = conv_dup_clusters(t, threshold=0.6, df_cap=None).collect()
+    got = {r["conv_id"]: r for r in rows}
+    assert set(got) == {"c1", "c2", "c3"}
+    assert all(r["cluster_id"] == "c1" and r["cluster_size"] == 3 for r in rows)
