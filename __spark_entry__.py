@@ -1326,6 +1326,41 @@ def q_source_overlap(spark, sf_dir):
     return source_overlap(load_table(spark, sf_dir, "documents"))
 
 
+def q_sliding_1h15m(spark, sf_dir):
+    """Hopping-window rollup, 1h width / 15m slide (operators/sliding.py):
+    native `F.window(ts, width, slide)` — Catalyst expands each row into
+    its 4 containing windows inside the aggregate (no join/explode) and
+    hash-aggregates with map-side partial combine; integer-domain stats."""
+    from sac2mseed_spark.operators.sliding import sliding_rollup
+
+    return sliding_rollup(
+        _metrics(spark, sf_dir), 3_600_000_000, 900_000_000
+    )
+
+
+def q_latency_cube(spark, sf_dir):
+    """CUBE (role, tool) latency dashboard (operators/cube.py): one
+    Expand + single-shuffle hash aggregate answers all four grouping
+    sets; gid = 2*grouping(role)+grouping(tool) separates data NULLs
+    from rollup-total NULLs identically on both engines."""
+    from sac2mseed_spark.operators.cube import latency_cube
+
+    return latency_cube(_metrics(spark, sf_dir))
+
+
+def q_daily_coverage(spark, sf_dir):
+    """Per (conv, day) 1h-tier completeness (operators/coverage.py):
+    SYNC-listing inverse — hour-slots present, coverage ratio, first/last
+    populated slot. Second exchange moves only tier rows; Catalyst prunes
+    the unused latency window out of the whole plan (scan reads ts+user
+    only — plan-gated)."""
+    from sac2mseed_spark.operators.coverage import daily_coverage
+
+    return daily_coverage(
+        rollup_from_turns(_metrics(spark, sf_dir), "1h")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "transcripts": q_transcripts,
@@ -1425,6 +1460,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conv_near_dup": q_conv_near_dup,
         "conv_dup_clusters": q_conv_dup_clusters,
         "source_quality": q_source_quality,
+        "sliding_1h15m": q_sliding_1h15m,
+        "latency_cube": q_latency_cube,
+        "daily_coverage": q_daily_coverage,
     }
 
 
@@ -3730,6 +3768,50 @@ FROM scored GROUP BY 1, 2
 HAVING count(*) >= {min_pairs}"""
 
 
+def _sliding_sql(width_us: int, slide_us: int) -> str:
+    f = width_us // slide_us
+    return f"""{_ORACLE_PREFIX},
+e AS (
+  SELECT m.*,
+         CAST(floor(ts_us / {slide_us}.0) AS BIGINT) * {slide_us}
+           - k.k * {slide_us} AS window_start_us
+  FROM m CROSS JOIN
+       (SELECT CAST(range AS BIGINT) AS k FROM range({f})) k
+)
+SELECT conv_id, window_start_us,
+       count(*) AS n_points,
+       count(latency_us) AS n_latency,
+       CAST(sum(latency_us) AS BIGINT) AS sum_latency_us,
+       max(latency_us) AS max_latency_us,
+       CAST(sum(token_count) AS BIGINT) AS sum_tokens
+FROM e GROUP BY 1, 2"""
+
+
+def _latency_cube_sql() -> str:
+    return f"""{_ORACLE_PREFIX}
+SELECT role, tool,
+       CAST(2 * GROUPING(role) + GROUPING(tool) AS INTEGER) AS gid,
+       count(*) AS n_turns,
+       count(latency_us) AS n_latency,
+       CAST(sum(latency_us) AS BIGINT) AS sum_latency_us,
+       max(latency_us) AS max_latency_us
+FROM m GROUP BY CUBE (role, tool)"""
+
+
+def _daily_coverage_sql() -> str:
+    d = 86_400_000_000
+    return f"""{_ORACLE_PREFIX},
+t1h AS ({_tier_body_sql('1h')})
+SELECT conv_id,
+       CAST(floor(window_start_us / {d}.0) AS BIGINT) * {d} AS day_start_us,
+       count(*) AS n_hours,
+       round(count(*) / 24.0, 6) AS coverage,
+       min(window_start_us) AS first_window_us,
+       max(window_start_us) AS last_window_us,
+       CAST(sum(n_points) AS BIGINT) AS n_points
+FROM t1h GROUP BY 1, 2"""
+
+
 def oracle_sql() -> dict[str, str]:
     lo, hi = 1_704_067_200_000_000, 1_704_240_000_000_000
     return {
@@ -3904,4 +3986,7 @@ SELECT * FROM bad UNION ALL SELECT * FROM good""",
         "conv_near_dup": _conv_near_dup_sql(),
         "conv_dup_clusters": _conv_dup_clusters_sql(),
         "source_quality": _source_quality_sql(),
+        "sliding_1h15m": _sliding_sql(3_600_000_000, 900_000_000),
+        "latency_cube": _latency_cube_sql(),
+        "daily_coverage": _daily_coverage_sql(),
     }

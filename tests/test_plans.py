@@ -205,3 +205,45 @@ def test_source_overlap_runtime_exchange_reuse(spark):
         )
     )
     assert plan.count("ReusedExchange") >= 3, plan.count("ReusedExchange")
+
+
+def test_sliding_window_expand_single_aggregate(spark):
+    # hopping windows must plan as Expand (constant 4-way fan-out inside
+    # the aggregate's input projection) + ONE partial/final hash
+    # aggregate pair — never a join against a window dimension and never
+    # a Generate/explode row blow-up before partial aggregation
+    plan = _plan(spark, "sliding_1h15m")
+    assert "Expand" in plan
+    assert "Generate" not in plan
+    assert "Join" not in plan
+    # one aggregate exchange on (conv, window) + the metrics lag window
+    # exchange on conv — nothing else
+    n_ex = len(re.findall(r"\(\d+\) Exchange", plan))
+    assert n_ex <= 3, f"{n_ex} exchanges"
+
+
+def test_latency_cube_single_shuffle_grouping_sets(spark):
+    # CUBE = Expand over 4 grouping sets + ONE hash aggregate with
+    # map-side partial combine; four separate scans/aggregations would
+    # show >1 FileScan or >2 post-window exchanges
+    plan = _plan(spark, "latency_cube")
+    assert "Expand" in plan
+    assert len(set(re.findall(r"\((\d+)\) Scan parquet", plan))) == 1
+    # the metrics derivation owns 2 window exchanges (turn_idx
+    # row_number + latency lag); the cube itself must add exactly ONE
+    n_ex = len(set(re.findall(r"\((\d+)\) Exchange", plan)))
+    assert n_ex <= 3, f"{n_ex} exchanges"
+
+
+def test_daily_coverage_prunes_latency_window(spark):
+    # coverage touches no latency column: Catalyst must prune the lag()
+    # window (and its conv exchange) out of the plan entirely, and the
+    # events scan must read only (ts, user_id)
+    plan = _plan(spark, "daily_coverage")
+    assert "lag(" not in plan
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m, "no ReadSchema"
+    cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
+    assert cols == {"ts", "user_id"}, cols
+    n_ex = len(re.findall(r"\(\d+\) Exchange", plan))
+    assert n_ex <= 2, f"{n_ex} exchanges"
