@@ -1361,6 +1361,17 @@ def q_daily_coverage(spark, sf_dir):
     )
 
 
+def q_twa_1h(spark, sf_dir):
+    """Time-weighted hourly average of token_count (operators/twa.py):
+    LOCF step function capped at the 30 min segment tolerance, hold
+    intervals apportioned EXACTLY across hourly windows in integer
+    microseconds. explode(sequence) fan-out is the constant
+    ceil(tol/width)+1 = 2 — bounded by config, not data (plan-gated)."""
+    from sac2mseed_spark.operators.twa import time_weighted_avg
+
+    return time_weighted_avg(_metrics(spark, sf_dir), 3_600_000_000)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "transcripts": q_transcripts,
@@ -1463,6 +1474,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sliding_1h15m": q_sliding_1h15m,
         "latency_cube": q_latency_cube,
         "daily_coverage": q_daily_coverage,
+        "twa_1h": q_twa_1h,
     }
 
 
@@ -3812,6 +3824,42 @@ SELECT conv_id,
 FROM t1h GROUP BY 1, 2"""
 
 
+def _twa_sql(width_us: int, tol_us: int) -> str:
+    return f"""{_ORACLE_PREFIX},
+seg AS (
+  SELECT conv_id, ts_us, token_count AS v,
+         least(lead(ts_us) OVER
+                 (PARTITION BY conv_id ORDER BY ts_us, turn_idx) - ts_us,
+               CAST({tol_us} AS BIGINT)) AS d_us
+  FROM m
+  -- least() skips NULLs; the WHERE d_us > 0 below still admits the
+  -- last turn unless the gap itself is NULL-propagated first
+  QUALIFY lead(ts_us) OVER
+            (PARTITION BY conv_id ORDER BY ts_us, turn_idx) IS NOT NULL
+),
+e AS (
+  SELECT conv_id, ts_us, v, d_us,
+         unnest(generate_series(
+           CAST(floor(ts_us / {width_us}.0) AS BIGINT) * {width_us},
+           CAST(floor((ts_us + d_us - 1) / {width_us}.0) AS BIGINT)
+             * {width_us},
+           {width_us})) AS window_start_us
+  FROM seg WHERE d_us > 0
+),
+o AS (
+  SELECT conv_id, window_start_us, v,
+         least(ts_us + d_us, window_start_us + {width_us})
+           - greatest(ts_us, window_start_us) AS ov_us
+  FROM e
+)
+SELECT conv_id, window_start_us,
+       CAST(sum(v * ov_us) AS BIGINT) AS sum_weighted,
+       CAST(sum(ov_us) AS BIGINT) AS covered_us,
+       count(*) AS n_segments,
+       round(CAST(sum(v * ov_us) AS DOUBLE) / sum(ov_us), 6) AS twa
+FROM o GROUP BY 1, 2"""
+
+
 def oracle_sql() -> dict[str, str]:
     lo, hi = 1_704_067_200_000_000, 1_704_240_000_000_000
     return {
@@ -3989,4 +4037,5 @@ SELECT * FROM bad UNION ALL SELECT * FROM good""",
         "sliding_1h15m": _sliding_sql(3_600_000_000, 900_000_000),
         "latency_cube": _latency_cube_sql(),
         "daily_coverage": _daily_coverage_sql(),
+        "twa_1h": _twa_sql(3_600_000_000, 30 * 60 * 1_000_000),
     }

@@ -117,6 +117,10 @@ SUITE_QUERIES = [
     "conv_near_dup",
     "conv_dup_clusters",
     "source_quality",
+    "sliding_1h15m",
+    "latency_cube",
+    "daily_coverage",
+    "twa_1h",
 ]
 
 

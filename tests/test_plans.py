@@ -235,6 +235,19 @@ def test_latency_cube_single_shuffle_grouping_sets(spark):
     assert n_ex <= 3, f"{n_ex} exchanges"
 
 
+def test_twa_bounded_generate_reuses_conv_partitioning(spark):
+    # the LOCF explode is a config-bounded Generate (ceil(tol/width)+1
+    # windows per turn), never a join; and because the groupBy keys
+    # include conv_id the final aggregate must REUSE the lead-window's
+    # conv_id partitioning — turn_idx window + lead window exchanges
+    # only, no third exchange for the aggregate
+    plan = _plan(spark, "twa_1h")
+    assert "Join" not in plan
+    assert "Generate" in plan
+    n_ex = len(re.findall(r"\(\d+\) Exchange", plan))
+    assert n_ex <= 2, f"{n_ex} exchanges"
+
+
 def test_daily_coverage_prunes_latency_window(spark):
     # coverage touches no latency column: Catalyst must prune the lag()
     # window (and its conv exchange) out of the plan entirely, and the
