@@ -1361,6 +1361,15 @@ def q_daily_coverage(spark, sf_dir):
     )
 
 
+def q_latency_rollup_hier(spark, sf_dir):
+    """Hierarchical ROLLUP (day -> role) drill-down (operators/cube.py):
+    3 grouping sets (day x role, day subtotal, grand total) in one
+    Expand + one shuffle; engine-neutral gid as in the cube."""
+    from sac2mseed_spark.operators.cube import latency_rollup_hier
+
+    return latency_rollup_hier(_metrics(spark, sf_dir))
+
+
 def q_twa_1h(spark, sf_dir):
     """Time-weighted hourly average of token_count (operators/twa.py):
     LOCF step function capped at the 30 min segment tolerance, hold
@@ -1475,6 +1484,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "latency_cube": q_latency_cube,
         "daily_coverage": q_daily_coverage,
         "twa_1h": q_twa_1h,
+        "latency_rollup_hier": q_latency_rollup_hier,
     }
 
 
@@ -3824,6 +3834,23 @@ SELECT conv_id,
 FROM t1h GROUP BY 1, 2"""
 
 
+def _latency_rollup_hier_sql() -> str:
+    d = 86_400_000_000
+    return f"""{_ORACLE_PREFIX},
+md AS (
+  SELECT CAST(floor(ts_us / {d}.0) AS BIGINT) * {d} AS day_start_us,
+         role, latency_us
+  FROM m
+)
+SELECT day_start_us, role,
+       CAST(2 * GROUPING(day_start_us) + GROUPING(role) AS INTEGER) AS gid,
+       count(*) AS n_turns,
+       count(latency_us) AS n_latency,
+       CAST(sum(latency_us) AS BIGINT) AS sum_latency_us,
+       max(latency_us) AS max_latency_us
+FROM md GROUP BY ROLLUP (day_start_us, role)"""
+
+
 def _twa_sql(width_us: int, tol_us: int) -> str:
     return f"""{_ORACLE_PREFIX},
 seg AS (
@@ -4038,4 +4065,5 @@ SELECT * FROM bad UNION ALL SELECT * FROM good""",
         "latency_cube": _latency_cube_sql(),
         "daily_coverage": _daily_coverage_sql(),
         "twa_1h": _twa_sql(3_600_000_000, 30 * 60 * 1_000_000),
+        "latency_rollup_hier": _latency_rollup_hier_sql(),
     }

@@ -121,6 +121,7 @@ SUITE_QUERIES = [
     "latency_cube",
     "daily_coverage",
     "twa_1h",
+    "latency_rollup_hier",
 ]
 
 

@@ -23,6 +23,38 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+DAY_US = 86_400_000_000
+
+
+def latency_rollup_hier(metrics: DataFrame) -> DataFrame:
+    """Hierarchical ROLLUP (day -> role) latency drill-down.
+
+    The CUBE below answers the all-combinations dashboard; operational
+    drill-downs want the HIERARCHY instead — per-day-per-role, per-day
+    subtotal, grand total — which ROLLUP plans as the same single
+    Expand + one hash aggregate but over 3 grouping sets instead of 4
+    (no role-only set: a role subtotal across days is not in the
+    hierarchy). Same engine-neutral gid convention as the cube.
+
+    Returns (day_start_us, role, gid, n_turns, n_latency,
+    sum_latency_us, max_latency_us).
+    """
+    day = (F.floor(F.col("ts_us") / DAY_US) * DAY_US).cast("long")
+    return (
+        metrics.withColumn("day_start_us", day)
+        .rollup("day_start_us", "role")
+        .agg(
+            (F.grouping("day_start_us") * 2 + F.grouping("role"))
+            .cast("int")
+            .alias("gid"),
+            F.count(F.lit(1)).alias("n_turns"),
+            F.count("latency_us").alias("n_latency"),
+            F.sum("latency_us").alias("sum_latency_us"),
+            F.max("latency_us").alias("max_latency_us"),
+        )
+    )
+
+
 def latency_cube(metrics: DataFrame) -> DataFrame:
     """CUBE (role, tool) of turn counts and latency sums.
 

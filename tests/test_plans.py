@@ -235,6 +235,17 @@ def test_latency_cube_single_shuffle_grouping_sets(spark):
     assert n_ex <= 3, f"{n_ex} exchanges"
 
 
+def test_latency_rollup_hier_single_shuffle(spark):
+    # ROLLUP = the same Expand + single hash-aggregate shape as the
+    # cube, over 3 grouping sets; one scan, no extra exchange beyond
+    # the metrics windows + the one aggregate exchange
+    plan = _plan(spark, "latency_rollup_hier")
+    assert "Expand" in plan
+    assert len(set(re.findall(r"\((\d+)\) Scan parquet", plan))) == 1
+    n_ex = len(set(re.findall(r"\((\d+)\) Exchange", plan)))
+    assert n_ex <= 3, f"{n_ex} exchanges"
+
+
 def test_twa_bounded_generate_reuses_conv_partitioning(spark):
     # the LOCF explode is a config-bounded Generate (ceil(tol/width)+1
     # windows per turn), never a join; and because the groupBy keys

@@ -520,6 +520,17 @@ the §0 triad envelope for a partially memory-bound kernel.
 - Every scored row publishes (wall, steal, sys-frac, heap, stage walls,
   per-executor stage timestamps); raws are never discarded, including
   poisoned pre-fix rounds (kept with explanatory notes).
+- Code-path freshness: the gate job executes generate/read ->
+  derive_turn_metrics -> rollup_cascade -> pack_tier via
+  tools/scaling_bench.py. Since the scored t_scale16 pairs were
+  measured (commit 1575da8), the ONLY change to any module on that
+  path is commit e63d5d9 adding the new function rollup_calendar to
+  operators/rollup.py — additive, never called by the gate job
+  (`git diff 1575da8..HEAD -- operators/rollup.py functions/metrics.py
+  operators/pack.py codec/ tools/scaling_bench.py sources/
+  session.py` shows the single +37-line hunk). The shipped tree runs
+  the measured binary path unchanged; round-5 additions are analytics
+  queries outside it.
 
 Reference comparison: the reference publishes no throughput numbers;
 bit-exactness gates are covered by pytest + the driver's DuckDB oracle.
