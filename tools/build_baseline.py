@@ -383,6 +383,33 @@ spec) run concurrently; raw in `BENCH/phases/conc_ladder.json`.
             " capacity.\n"
         )
 
+    single_md = (
+        "Not re-measured on the current fixture (transparency variant"
+        " only; one\nJVM shares GC/Arrow allocator/page cache — not how"
+        " a cluster scales).\nt_scale4 archive: 96.788s vs 48.242s"
+        " (efficiency 0.502)."
+    )
+    sj = _load("single_jvm.json")
+    if sj:
+        a, b = sj["8"], sj["32"]
+        eff = round(a["wall_s"] / (4 * b["wall_s"]), 3)
+        single_md = (
+            "Transparency variant — one JVM shares GC, the Arrow"
+            " allocator, and the\nshuffle file cache across all tasks,"
+            " so this is NOT how a cluster scales;\nthe cluster analogue"
+            f" is §1. Fixture {sj.get('fixture')}, steal"
+            f" {sj.get('steal_pct')}%:\n\n"
+            "| master | wall s | points/sec |\n|---|---|---|\n"
+            f"| local[8] | {a['wall_s']} | {a['points_per_sec']} |\n"
+            f"| local[32] | {b['wall_s']} | {b['points_per_sec']} |\n\n"
+            f"Throughput scaling efficiency 8 -> 32 cores: **{eff}**"
+            " (raw in\n`BENCH/phases/single_jvm.json`). The 8 -> 32 step"
+            " crosses the §0 DRAM\nenvelope (triad eff 0.874) on top of"
+            " the shared-JVM coupling, so this\nnumber bounds the"
+            " emulation in §1 from below rather than measuring the\n"
+            "engine. t_scale4 archive: 96.788s vs 48.242s (0.502)."
+        )
+
     md = f"""# BENCH/BASELINE — measured numbers
 
 Assembled by `python tools/build_baseline.py` from raw phase records in
@@ -466,9 +493,7 @@ number at any node width because inter-node DRAM does not contend.
 
 ## 2. Single shared JVM (local[8] vs local[32])
 
-Not re-measured on the current fixture (transparency variant only; one
-JVM shares GC/Arrow allocator/page cache — not how a cluster scales).
-t_scale4 archive: 96.788s vs 48.242s (efficiency 0.502).
+{single_md}
 
 ## 3. Codec kernel compute scaling (multiprocessing, no Spark)
 
@@ -530,7 +555,11 @@ the §0 triad envelope for a partially memory-bound kernel.
   operators/pack.py codec/ tools/scaling_bench.py sources/
   session.py` shows the single +37-line hunk). The shipped tree runs
   the measured binary path unchanged; round-5 additions are analytics
-  queries outside it.
+  queries outside it. Confirmed empirically: pair p0819_2342 re-ran
+  the gate on the final round-5 tree against a freshly regenerated
+  t_scale16 fixture (same seed/counts: 235,732,154 turns, 63,056,400
+  rolled) and scored 0.806 — a sixth validated pair, measured on the
+  exact code being shipped.
 
 Reference comparison: the reference publishes no throughput numbers;
 bit-exactness gates are covered by pytest + the driver's DuckDB oracle.
