@@ -643,6 +643,25 @@ def q_salient_terms(spark, sf_dir):
     return salient_terms(docs, k=SALIENT_K)
 
 
+# BM25 retrieval: query set = the first few corpus documents, top-k hits
+BM25_QUERY_MAX_ID = 5
+BM25_K = 5
+
+
+def q_bm25_search(spark, sf_dir):
+    """Top-5 corpus documents per seed query by the log-free rational
+    BM25 score (operators/bm25.py): exact-int64 numerator/denominator,
+    one IEEE division per term, sequential term-order fold for the sum
+    — bit-identical to the DuckDB twin."""
+    from sac2mseed_spark.operators.bm25 import bm25_retrieval
+
+    docs = load_table(spark, sf_dir, "documents")
+    queries = docs.filter(F.col("doc_id") < BM25_QUERY_MAX_ID).select(
+        F.col("doc_id").alias("query_id"), "text"
+    )
+    return bm25_retrieval(docs, queries, k=BM25_K)
+
+
 def q_role_transitions(spark, sf_dir):
     """Role-transition Markov matrix (operators/transitions.py): lag over
     the stable turn order, two integer aggregates, broadcast totals."""
@@ -1431,6 +1450,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "burst_detect": q_burst_detect,
         "role_transitions": q_role_transitions,
         "salient_terms": q_salient_terms,
+        "bm25_search": q_bm25_search,
         "simhash_pairs": q_simhash_pairs,
         "knn_bruteforce": q_knn_bruteforce,
         "knn_lsh": q_knn_lsh,
@@ -2117,6 +2137,47 @@ r AS (
   FROM scored
 )
 SELECT doc, term, tf, df, score, rank FROM r WHERE rank <= {SALIENT_K}
+"""
+
+
+def _bm25_search_sql() -> str:
+    toks = _TOKENS_SQL.format(t="text")
+    return f"""
+WITH terms AS (
+  SELECT doc_id AS doc, lower(unnest({toks})) AS term FROM documents
+),
+ft AS (SELECT doc, term FROM terms WHERE term NOT IN
+       (SELECT unnest({_STOPWORDS_SQL}))),
+tf AS (SELECT doc, term, CAST(count(*) AS BIGINT) AS tf FROM ft GROUP BY 1, 2),
+dl AS (SELECT doc, CAST(count(*) AS BIGINT) AS dl FROM ft GROUP BY 1),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS t FROM ft),
+nd AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n FROM documents),
+dfq AS (SELECT term, CAST(count(DISTINCT doc) AS BIGINT) AS df
+        FROM ft GROUP BY 1),
+qt AS (SELECT DISTINCT doc AS query_id, term FROM ft
+       WHERE doc < {BM25_QUERY_MAX_ID}),
+s AS (
+  SELECT qt.query_id, tf.doc, tf.term,
+         CAST(22 * tf.tf * t * (2 * n - 2 * dfq.df + 1) AS DOUBLE) /
+         CAST(((10 * tf.tf + 3) * t + 9 * dl.dl * n)
+              * (2 * dfq.df + 1) AS DOUBLE) AS s
+  FROM tf
+  JOIN dfq ON tf.term = dfq.term
+  JOIN qt ON tf.term = qt.term
+  JOIN dl ON dl.doc = tf.doc, tot, nd
+  WHERE tf.doc <> qt.query_id
+),
+g AS (
+  SELECT query_id, doc AS doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+         round(list_reduce(list_prepend(0.0, list(s ORDER BY term)),
+                           (a, b) -> a + b), 6) AS score
+  FROM s GROUP BY 1, 2
+)
+SELECT query_id, doc_id, n_terms, score,
+       CAST(row_number() OVER w AS INTEGER) AS rank
+FROM g
+WINDOW w AS (PARTITION BY query_id ORDER BY score DESC, doc_id)
+QUALIFY row_number() OVER w <= {BM25_K}
 """
 
 
@@ -4012,6 +4073,7 @@ SELECT * FROM bad UNION ALL SELECT * FROM good""",
         "burst_detect": _burst_detect_sql(),
         "role_transitions": _role_transitions_sql(),
         "salient_terms": _salient_terms_sql(),
+        "bm25_search": _bm25_search_sql(),
         "simhash_pairs": _simhash_pairs_sql(3),
         "knn_bruteforce": _knn_sql(5),
         "knn_lsh": _knn_lsh_sql(5),

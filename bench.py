@@ -72,6 +72,7 @@ SUITE_QUERIES = [
     "burst_detect",
     "role_transitions",
     "salient_terms",
+    "bm25_search",
     "simhash_pairs",
     "knn_bruteforce",
     "knn_lsh",
