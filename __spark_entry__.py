@@ -670,6 +670,24 @@ def q_role_transitions(spark, sf_dir):
     return role_transitions(_metrics(spark, sf_dir))
 
 
+def q_sft_pairs(spark, sf_dir):
+    """SFT training-pair extraction (operators/sft.py): adjacent
+    user->assistant turns with token quality gates, content digests, and
+    kept-pair numbering — one conv-partitioned exchange end to end."""
+    from sac2mseed_spark.operators.sft import sft_pairs
+
+    return sft_pairs(_metrics(spark, sf_dir))
+
+
+def q_context_fit(spark, sf_dir):
+    """Context-window fit audit (operators/sft.py): longest turn suffix
+    per conversation under the token budget (truncate-from-the-left),
+    reverse running sum + aggregate on one conv exchange."""
+    from sac2mseed_spark.operators.sft import context_fit
+
+    return context_fit(_metrics(spark, sf_dir))
+
+
 # benchmark set for the contamination screen: docs below this id
 CONTAM_BENCH_MAX_ID = 20
 
@@ -1451,6 +1469,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "role_transitions": q_role_transitions,
         "salient_terms": q_salient_terms,
         "bm25_search": q_bm25_search,
+        "sft_pairs": q_sft_pairs,
+        "context_fit": q_context_fit,
         "simhash_pairs": q_simhash_pairs,
         "knn_bruteforce": q_knn_bruteforce,
         "knn_lsh": q_knn_lsh,
@@ -2194,6 +2214,72 @@ c AS (SELECT prev_role, role, count(*) AS n FROM e GROUP BY 1, 2),
 t AS (SELECT prev_role, sum(n) AS tot FROM c GROUP BY 1)
 SELECT c.prev_role, c.role, c.n, round(c.n / t.tot, 6) AS p
 FROM c JOIN t ON c.prev_role = t.prev_role
+"""
+
+
+def _sft_pairs_sql() -> str:
+    from sac2mseed_spark.operators.sft import (
+        MAX_PAIR_TOKENS,
+        MIN_PROMPT_TOKENS,
+        MIN_RESPONSE_TOKENS,
+    )
+
+    return f"""{_ORACLE_PREFIX},
+p AS (
+  SELECT conv_id, turn_idx, role, ts_us, token_count,
+         {h60_sql('text')} AS digest,
+         lag(role) OVER w AS prev_role,
+         lag(turn_idx) OVER w AS prev_turn_idx,
+         lag(ts_us) OVER w AS prev_ts_us,
+         lag(token_count) OVER w AS prev_tokens,
+         lag({h60_sql('text')}) OVER w AS prev_digest
+  FROM m
+  WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx, ts_us)
+),
+pairs AS (
+  SELECT conv_id,
+         prev_turn_idx AS user_turn_idx,
+         turn_idx AS assistant_turn_idx,
+         prev_tokens AS prompt_tokens,
+         token_count AS response_tokens,
+         prev_tokens + token_count AS pair_tokens,
+         ts_us - prev_ts_us AS response_latency_us,
+         prev_digest AS prompt_digest,
+         digest AS response_digest,
+         (prev_tokens >= {MIN_PROMPT_TOKENS}
+          AND token_count >= {MIN_RESPONSE_TOKENS}
+          AND prev_tokens + token_count <= {MAX_PAIR_TOKENS}) AS kept
+  FROM p WHERE role = 'assistant' AND prev_role = 'user'
+)
+SELECT *, CASE WHEN kept THEN CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END)
+           OVER (PARTITION BY conv_id ORDER BY assistant_turn_idx)
+           AS INTEGER) END AS pair_idx
+FROM pairs
+"""
+
+
+def _context_fit_sql() -> str:
+    from sac2mseed_spark.operators.sft import CONTEXT_BUDGET_TOKENS
+
+    b = CONTEXT_BUDGET_TOKENS
+    return f"""{_ORACLE_PREFIX},
+tail AS (
+  SELECT conv_id, token_count,
+         sum(token_count) OVER (PARTITION BY conv_id
+           ORDER BY turn_idx DESC, ts_us DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS suffix_tokens
+  FROM m
+)
+SELECT conv_id,
+       count(*) AS n_turns,
+       CAST(sum(token_count) AS BIGINT) AS total_tokens,
+       CAST(sum(CASE WHEN suffix_tokens <= {b} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_turns_fit,
+       CAST(coalesce(max(CASE WHEN suffix_tokens <= {b}
+                          THEN suffix_tokens END), 0) AS BIGINT) AS tokens_fit,
+       round(sum(CASE WHEN suffix_tokens <= {b} THEN 1 ELSE 0 END)
+             / CAST(count(*) AS DOUBLE), 6) AS fit_frac
+FROM tail GROUP BY conv_id
 """
 
 
@@ -4074,6 +4160,8 @@ SELECT * FROM bad UNION ALL SELECT * FROM good""",
         "role_transitions": _role_transitions_sql(),
         "salient_terms": _salient_terms_sql(),
         "bm25_search": _bm25_search_sql(),
+        "sft_pairs": _sft_pairs_sql(),
+        "context_fit": _context_fit_sql(),
         "simhash_pairs": _simhash_pairs_sql(3),
         "knn_bruteforce": _knn_sql(5),
         "knn_lsh": _knn_lsh_sql(5),

@@ -73,6 +73,8 @@ SUITE_QUERIES = [
     "role_transitions",
     "salient_terms",
     "bm25_search",
+    "sft_pairs",
+    "context_fit",
     "simhash_pairs",
     "knn_bruteforce",
     "knn_lsh",
