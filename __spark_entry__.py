@@ -679,6 +679,16 @@ def q_sft_pairs(spark, sf_dir):
     return sft_pairs(_metrics(spark, sf_dir))
 
 
+def q_template_turns(spark, sf_dir):
+    """Cross-conversation boilerplate detection (operators/templates.py):
+    turn texts recurring in >= 3 conversations, digest-keyed — the
+    template-masking removal list; one digest exchange, text never
+    shuffles."""
+    from sac2mseed_spark.operators.templates import template_turns
+
+    return template_turns(_metrics(spark, sf_dir))
+
+
 def q_context_fit(spark, sf_dir):
     """Context-window fit audit (operators/sft.py): longest turn suffix
     per conversation under the token budget (truncate-from-the-left),
@@ -1470,6 +1480,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salient_terms": q_salient_terms,
         "bm25_search": q_bm25_search,
         "sft_pairs": q_sft_pairs,
+        "template_turns": q_template_turns,
         "context_fit": q_context_fit,
         "simhash_pairs": q_simhash_pairs,
         "knn_bruteforce": q_knn_bruteforce,
@@ -2255,6 +2266,26 @@ SELECT *, CASE WHEN kept THEN CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END)
            OVER (PARTITION BY conv_id ORDER BY assistant_turn_idx)
            AS INTEGER) END AS pair_idx
 FROM pairs
+"""
+
+
+def _template_turns_sql() -> str:
+    from sac2mseed_spark.operators.templates import TEMPLATE_MIN_CONVS
+
+    return f"""{_ORACLE_PREFIX},
+h AS (
+  SELECT conv_id, role, token_count, {h60_sql('text')} AS digest FROM m
+),
+tot AS (SELECT CAST(count(*) AS DOUBLE) AS n_turns FROM h)
+SELECT digest,
+       count(DISTINCT conv_id) AS n_convs,
+       count(*) AS n_occurrences,
+       count(DISTINCT role) AS n_roles,
+       CAST(min(token_count) AS BIGINT) AS token_count,
+       CAST(sum(token_count) AS BIGINT) AS total_tokens,
+       round(count(*) / (SELECT n_turns FROM tot), 6) AS turn_frac
+FROM h GROUP BY digest
+HAVING count(DISTINCT conv_id) >= {TEMPLATE_MIN_CONVS}
 """
 
 
@@ -4161,6 +4192,7 @@ SELECT * FROM bad UNION ALL SELECT * FROM good""",
         "salient_terms": _salient_terms_sql(),
         "bm25_search": _bm25_search_sql(),
         "sft_pairs": _sft_pairs_sql(),
+        "template_turns": _template_turns_sql(),
         "context_fit": _context_fit_sql(),
         "simhash_pairs": _simhash_pairs_sql(3),
         "knn_bruteforce": _knn_sql(5),

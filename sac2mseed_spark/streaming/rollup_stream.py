@@ -622,3 +622,117 @@ def stream_repetition(
     return digested.groupBy("conv_id", "role").applyInPandasWithState(
         fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
     )
+
+
+def stream_sft_pairs(
+    transcripts: DataFrame,
+    min_prompt_tokens: int | None = None,
+    min_response_tokens: int | None = None,
+    max_pair_tokens: int | None = None,
+) -> DataFrame:
+    """Streaming twin of operators/sft.sft_pairs: extract SFT training
+    pairs continuously from a live transcript stream.
+
+    Text never crosses into Python or the state store: token_count and
+    the 60-bit content digest are computed JVM-side before the stateful
+    step, so per conv_id the state is ONE previous turn's scalars plus
+    the kept-pair counter — bounded, independent of conversation length.
+
+    Emits rows with exactly the batch operator's schema and gate
+    constants; on append-ordered delivery the emitted log equals
+    sft_pairs() on the same turns (tests assert row-for-row equality,
+    including pair_idx numbering). Out-of-order turns belong to the
+    batch heal path, like every stateful operator in this module.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from ..functions.hashing import h60
+    from ..functions.metrics import token_count_col, ts_us_col
+    from ..operators import sft as _sft
+
+    min_p = _sft.MIN_PROMPT_TOKENS if min_prompt_tokens is None else min_prompt_tokens
+    min_r = (
+        _sft.MIN_RESPONSE_TOKENS if min_response_tokens is None else min_response_tokens
+    )
+    max_t = _sft.MAX_PAIR_TOKENS if max_pair_tokens is None else max_pair_tokens
+
+    cols = transcripts.columns
+    ts_us = F.col("ts_us") if "ts_us" in cols else ts_us_col("ts")
+    tok = (
+        F.col("token_count")
+        if "token_count" in cols
+        else token_count_col().cast("long")
+    )
+    digested = transcripts.select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        ts_us.alias("ts_us"),
+        tok.alias("token_count"),
+        h60(F.col("text")).alias("digest"),
+    )
+
+    out_schema = (
+        "conv_id string, user_turn_idx int, assistant_turn_idx int, "
+        "prompt_tokens long, response_tokens long, pair_tokens long, "
+        "response_latency_us long, prompt_digest long, "
+        "response_digest long, kept boolean, pair_idx int"
+    )
+    state_schema = (
+        "prev_role string, prev_turn_idx int, prev_ts_us long, "
+        "prev_tokens long, prev_digest long, n_kept int"
+    )
+
+    def fn(key, pdfs, state: GroupState):
+        (conv_id,) = key
+        parts = [p for p in pdfs if len(p)]
+        if not parts:
+            return
+        pdf = pd.concat(parts, ignore_index=True).sort_values(
+            ["turn_idx", "ts_us"], kind="mergesort"
+        )
+        if state.exists:
+            prev_role, prev_idx, prev_ts, prev_tok, prev_dig, n_kept = state.get
+        else:
+            prev_role = None
+            prev_idx = prev_ts = prev_tok = prev_dig = None
+            n_kept = 0
+        rows = []
+        for r in pdf.itertuples(index=False):
+            if prev_role == "user" and r.role == "assistant":
+                pair_tokens = int(prev_tok) + int(r.token_count)
+                kept = (
+                    int(prev_tok) >= min_p
+                    and int(r.token_count) >= min_r
+                    and pair_tokens <= max_t
+                )
+                if kept:
+                    n_kept += 1
+                rows.append(
+                    {
+                        "conv_id": conv_id,
+                        "user_turn_idx": int(prev_idx),
+                        "assistant_turn_idx": int(r.turn_idx),
+                        "prompt_tokens": int(prev_tok),
+                        "response_tokens": int(r.token_count),
+                        "pair_tokens": pair_tokens,
+                        "response_latency_us": int(r.ts_us) - int(prev_ts),
+                        "prompt_digest": int(prev_dig),
+                        "response_digest": int(r.digest),
+                        "kept": kept,
+                        "pair_idx": n_kept if kept else None,
+                    }
+                )
+            prev_role = r.role
+            prev_idx = int(r.turn_idx)
+            prev_ts = int(r.ts_us)
+            prev_tok = int(r.token_count)
+            prev_dig = int(r.digest)
+        state.update((prev_role, prev_idx, prev_ts, prev_tok, prev_dig, int(n_kept)))
+        if rows:
+            yield pd.DataFrame(rows)
+
+    return digested.groupBy("conv_id").applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
