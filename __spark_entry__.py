@@ -679,6 +679,16 @@ def q_sft_pairs(spark, sf_dir):
     return sft_pairs(_metrics(spark, sf_dir))
 
 
+def q_pref_pairs(spark, sf_dir):
+    """RLHF preference-pair candidates (operators/sft.py): prompts with
+    >= 2 distinct responses across the corpus, deterministic
+    chosen/rejected by (tokens DESC, latency ASC, digest ASC) — digest-only
+    shuffles, map-side-combinable struct min/max selection."""
+    from sac2mseed_spark.operators.sft import preference_pairs
+
+    return preference_pairs(_metrics(spark, sf_dir))
+
+
 def q_template_turns(spark, sf_dir):
     """Cross-conversation boilerplate detection (operators/templates.py):
     turn texts recurring in >= 3 conversations, digest-keyed — the
@@ -1480,6 +1490,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salient_terms": q_salient_terms,
         "bm25_search": q_bm25_search,
         "sft_pairs": q_sft_pairs,
+        "pref_pairs": q_pref_pairs,
         "template_turns": q_template_turns,
         "context_fit": q_context_fit,
         "simhash_pairs": q_simhash_pairs,
@@ -2266,6 +2277,60 @@ SELECT *, CASE WHEN kept THEN CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END)
            OVER (PARTITION BY conv_id ORDER BY assistant_turn_idx)
            AS INTEGER) END AS pair_idx
 FROM pairs
+"""
+
+
+def _pref_pairs_sql() -> str:
+    from sac2mseed_spark.operators.sft import PREF_MIN_RESPONSES
+
+    return f"""{_ORACLE_PREFIX},
+p AS (
+  SELECT conv_id, turn_idx, role, ts_us, token_count,
+         {h60_sql('text')} AS digest,
+         lag(role) OVER w AS prev_role,
+         lag(ts_us) OVER w AS prev_ts_us,
+         lag(token_count) OVER w AS prev_tokens,
+         lag({h60_sql('text')}) OVER w AS prev_digest
+  FROM m
+  WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx, ts_us)
+),
+ex AS (
+  SELECT prev_digest AS prompt_digest, digest AS response_digest,
+         prev_tokens, token_count, ts_us - prev_ts_us AS latency_us
+  FROM p WHERE role = 'assistant' AND prev_role = 'user'
+),
+resp AS (
+  SELECT prompt_digest, response_digest,
+         CAST(min(prev_tokens) AS BIGINT) AS prompt_tokens,
+         CAST(min(token_count) AS BIGINT) AS response_tokens,
+         CAST(min(latency_us) AS BIGINT) AS min_latency_us,
+         count(*) AS n_occ
+  FROM ex GROUP BY 1, 2
+),
+ranked AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY prompt_digest
+            ORDER BY response_tokens DESC, min_latency_us ASC,
+                     response_digest ASC) AS rnk,
+         count(*) OVER (PARTITION BY prompt_digest) AS n_responses,
+         CAST(sum(n_occ) OVER (PARTITION BY prompt_digest) AS BIGINT)
+             AS n_exchanges,
+         min(prompt_tokens) OVER (PARTITION BY prompt_digest) AS p_tok
+  FROM resp
+)
+SELECT c.prompt_digest,
+       c.p_tok AS prompt_tokens,
+       c.n_responses,
+       c.n_exchanges,
+       c.response_digest AS chosen_digest,
+       c.response_tokens AS chosen_tokens,
+       c.min_latency_us AS chosen_latency_us,
+       r.response_digest AS rejected_digest,
+       r.response_tokens AS rejected_tokens,
+       c.response_tokens - r.response_tokens AS token_margin
+FROM ranked c JOIN ranked r USING (prompt_digest)
+WHERE c.rnk = 1 AND r.rnk = r.n_responses
+  AND c.n_responses >= {PREF_MIN_RESPONSES}
 """
 
 
@@ -4192,6 +4257,7 @@ SELECT * FROM bad UNION ALL SELECT * FROM good""",
         "salient_terms": _salient_terms_sql(),
         "bm25_search": _bm25_search_sql(),
         "sft_pairs": _sft_pairs_sql(),
+        "pref_pairs": _pref_pairs_sql(),
         "template_turns": _template_turns_sql(),
         "context_fit": _context_fit_sql(),
         "simhash_pairs": _simhash_pairs_sql(3),

@@ -143,3 +143,100 @@ def context_fit(
             F.sum(fits).cast("double") / F.count(F.lit(1)).cast("double"), 6
         ).alias("fit_frac"),
     )
+
+
+# a prompt becomes a preference candidate once it has this many distinct
+# responses across the corpus
+PREF_MIN_RESPONSES = 2
+
+
+def preference_pairs(
+    metrics: DataFrame, min_responses: int = PREF_MIN_RESPONSES
+) -> DataFrame:
+    """RLHF-style preference candidates: prompts answered by >= 2 distinct
+    responses across the corpus, with a deterministic chosen/rejected
+    assignment.
+
+    A retried, regenerated, or templated user prompt that received
+    different assistant responses in different conversations is the raw
+    material of preference training. This operator groups every
+    user->assistant exchange by the prompt's content digest and, for
+    prompts with >= ``min_responses`` distinct response digests, emits ONE
+    row: the "chosen" response (most tokens, then lowest observed latency,
+    then lowest digest — a documented heuristic standing in for a reward
+    model; any scorer can replace the ordering key) and the "rejected"
+    response (the same total order's last element). Reference analogue:
+    the duplicate-header grouping that folds records with identical
+    srcnames into one trace and keeps per-trace extremes
+    (`/root/reference/libmseed/traceutils.c:461-508`).
+
+    Output: (prompt_digest, prompt_tokens, n_responses, n_exchanges,
+    chosen_digest, chosen_tokens, chosen_latency_us, rejected_digest,
+    rejected_tokens, token_margin).
+
+    Scale shape: text is digested in the same project that reads it, so
+    both aggregates exchange only 8-byte digests + integers. The
+    chosen/rejected selection is a map-side-combinable min/max over a
+    lexicographic struct key — no window over the corpus-wide prompt
+    groups, so one hot prompt (a template answered a million times) costs
+    a partial aggregate, not a sort.
+    """
+    if min_responses < 2:
+        raise ValueError(f"min_responses must be >= 2, got {min_responses}")
+    w = Window.partitionBy("conv_id").orderBy("turn_idx", "ts_us")
+    ex = (
+        metrics.select(
+            "conv_id",
+            "turn_idx",
+            "role",
+            "ts_us",
+            F.col("token_count").cast("long").alias("token_count"),
+            h60(F.col("text")).alias("digest"),
+        )
+        .withColumn("prev_role", F.lag("role").over(w))
+        .withColumn("prev_ts_us", F.lag("ts_us").over(w))
+        .withColumn("prev_tokens", F.lag("token_count").over(w))
+        .withColumn("prev_digest", F.lag("digest").over(w))
+        .filter((F.col("role") == "assistant") & (F.col("prev_role") == "user"))
+    )
+    resp = ex.groupBy(
+        F.col("prev_digest").alias("prompt_digest"),
+        F.col("digest").alias("response_digest"),
+    ).agg(
+        # identical text => identical token count; min() is exact
+        F.min("prev_tokens").alias("prompt_tokens"),
+        F.min("token_count").alias("response_tokens"),
+        F.min(F.col("ts_us") - F.col("prev_ts_us")).alias("min_latency_us"),
+        F.count(F.lit(1)).alias("n_occ"),
+    )
+    # total order: tokens DESC, latency ASC, digest ASC. struct max/min give
+    # the first/last element of that order (digests are 60-bit, so negation
+    # never overflows).
+    key = F.struct(
+        F.col("response_tokens").alias("tok"),
+        (-F.col("min_latency_us")).alias("neg_lat"),
+        (-F.col("response_digest")).alias("neg_dig"),
+    )
+    return (
+        resp.groupBy("prompt_digest")
+        .agg(
+            F.min("prompt_tokens").alias("prompt_tokens"),
+            F.count(F.lit(1)).alias("n_responses"),
+            F.sum("n_occ").alias("n_exchanges"),
+            F.max(key).alias("ck"),
+            F.min(key).alias("rk"),
+        )
+        .filter(F.col("n_responses") >= min_responses)
+        .select(
+            "prompt_digest",
+            "prompt_tokens",
+            "n_responses",
+            "n_exchanges",
+            (-F.col("ck.neg_dig")).alias("chosen_digest"),
+            F.col("ck.tok").alias("chosen_tokens"),
+            (-F.col("ck.neg_lat")).alias("chosen_latency_us"),
+            (-F.col("rk.neg_dig")).alias("rejected_digest"),
+            F.col("rk.tok").alias("rejected_tokens"),
+            (F.col("ck.tok") - F.col("rk.tok")).alias("token_margin"),
+        )
+    )

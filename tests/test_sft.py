@@ -119,3 +119,74 @@ def test_single_exchange_plans(spark):
         assert n_exchanges == 1, plan
         assert "hashpartitioning(conv_id" in plan
         assert "Join" not in plan
+
+
+def test_preference_pairs_selection_and_gating(spark):
+    from sac2mseed_spark.operators.sft import preference_pairs
+
+    # same prompt text "what is two plus two" in three convs, three
+    # distinct responses; a second prompt answered identically twice
+    # (1 distinct response -> excluded); a third prompt seen once.
+    m = _m(
+        spark,
+        [
+            ("a", 0, "user", "what is two plus two", 0),
+            ("a", 1, "assistant", "four", 100),
+            ("b", 0, "user", "what is two plus two", 0),
+            ("b", 1, "assistant", "the answer is four exactly", 50),
+            ("c", 0, "user", "what is two plus two", 0),
+            ("c", 1, "assistant", "it equals four my friend", 200),
+            ("d", 0, "user", "say hello to me", 0),
+            ("d", 1, "assistant", "hello hello hello", 10),
+            ("e", 0, "user", "say hello to me", 0),
+            ("e", 1, "assistant", "hello hello hello", 30),
+            ("f", 0, "user", "unique prompt here", 0),
+            ("f", 1, "assistant", "unique reply text", 5),
+        ],
+    )
+    rows = preference_pairs(m).collect()
+    assert len(rows) == 1  # only the 3-distinct-response prompt survives
+    r = rows[0]
+    assert r["n_responses"] == 3 and r["n_exchanges"] == 3
+    assert r["prompt_tokens"] == 5
+    # chosen: max tokens (5) with lowest latency -> "the answer is four
+    # exactly" (5 tokens, 50us) beats "it equals four my friend" (5, 200)
+    assert r["chosen_tokens"] == 5 and r["chosen_latency_us"] == 50
+    # rejected: fewest tokens -> "four" (1 token)
+    assert r["rejected_tokens"] == 1
+    assert r["token_margin"] == 4
+    assert r["chosen_digest"] != r["rejected_digest"]
+
+
+def test_preference_pairs_digest_tiebreak_deterministic(spark):
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from sac2mseed_spark.functions.hashing import h60
+    from sac2mseed_spark.operators.sft import preference_pairs
+
+    # two responses with IDENTICAL token counts and latencies: the tie
+    # must break on the lower digest, both for chosen and rejected.
+    m = _m(
+        spark,
+        [
+            ("a", 0, "user", "pick one of these", 0),
+            ("a", 1, "assistant", "alpha beta gamma", 100),
+            ("b", 0, "user", "pick one of these", 0),
+            ("b", 1, "assistant", "delta epsilon zeta", 100),
+        ],
+    )
+    digs = {
+        r["text"]: r["d"]
+        for r in m.filter("role='assistant'")
+        .select("text", h60(F.col("text")).alias("d"))
+        .collect()
+    }
+    lo, hi = sorted(digs.values())
+    r = preference_pairs(m).collect()[0]
+    assert r["chosen_digest"] == lo and r["rejected_digest"] == hi
+
+    # invalid threshold rejected
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        preference_pairs(m, min_responses=1)
