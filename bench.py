@@ -74,6 +74,8 @@ SUITE_QUERIES = [
     "salient_terms",
     "bm25_search",
     "sft_pairs",
+    "pref_pairs",
+    "template_turns",
     "context_fit",
     "simhash_pairs",
     "knn_bruteforce",
