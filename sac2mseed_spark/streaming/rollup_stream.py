@@ -736,3 +736,97 @@ def stream_sft_pairs(
     return digested.groupBy("conv_id").applyInPandasWithState(
         fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
     )
+
+
+def stream_template_turns(
+    transcripts: DataFrame, min_convs: int | None = None
+) -> DataFrame:
+    """Streaming twin of operators/templates.template_turns: detect
+    cross-conversation boilerplate turns continuously, emitting each
+    template digest ONCE — at the moment its distinct-conversation count
+    crosses the threshold.
+
+    Unlike the per-conv stateful operators, this one keys by the turn
+    text's 60-bit digest, so its state question is "how much per key?"
+    The answer is a hard constant: the distinct conv_ids seen so far are
+    kept ONLY until the threshold (at most ``min_convs`` short strings),
+    after which the set is dropped and a crossed flag remains. A
+    million-occurrence template costs the same state as a 3-occurrence
+    one — bounded by config, not by stream length. Text never enters the
+    state store (digest computed JVM-side, like every twin here).
+
+    Append-mode semantics: one output row per template, carrying the
+    occurrence count AT crossing (the batch operator's running totals
+    are a rescan-free arithmetic property of the batch store instead).
+    Parity contract (tested): fed the same turns in any micro-batch
+    split, the emitted digest set equals template_turns()'s digests.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from ..functions.hashing import h60
+    from ..functions.metrics import token_count_col
+    from ..operators import templates as _t
+
+    k = _t.TEMPLATE_MIN_CONVS if min_convs is None else min_convs
+    if k < 2:
+        raise ValueError(f"min_convs must be >= 2, got {k}")
+
+    cols = transcripts.columns
+    tok = (
+        F.col("token_count")
+        if "token_count" in cols
+        else token_count_col().cast("long")
+    )
+    digested = transcripts.select(
+        h60(F.col("text")).alias("digest"),
+        "conv_id",
+        tok.alias("token_count"),
+    )
+
+    out_schema = (
+        "digest long, token_count long, n_convs int, "
+        "n_occurrences_at_crossing long"
+    )
+    state_schema = (
+        "seen array<string>, n_occ long, crossed boolean, token_count long"
+    )
+
+    def fn(key, pdfs, state: GroupState):
+        (digest,) = key
+        parts = [p for p in pdfs if len(p)]
+        if not parts:
+            return
+        pdf = pd.concat(parts, ignore_index=True)
+        if state.exists:
+            seen, n_occ, crossed, tok_c = state.get
+            seen = list(seen)
+        else:
+            seen, n_occ, crossed, tok_c = [], 0, False, None
+        rows = []
+        for r in pdf.itertuples(index=False):
+            n_occ += 1
+            if tok_c is None:
+                tok_c = int(r.token_count)
+            if crossed:
+                continue
+            if r.conv_id not in seen:
+                seen.append(r.conv_id)
+                if len(seen) >= k:
+                    crossed = True
+                    seen = []  # threshold reached: drop the set, keep a flag
+                    rows.append(
+                        {
+                            "digest": int(digest),
+                            "token_count": tok_c,
+                            "n_convs": k,
+                            "n_occurrences_at_crossing": int(n_occ),
+                        }
+                    )
+        state.update((seen, int(n_occ), bool(crossed), tok_c))
+        if rows:
+            yield pd.DataFrame(rows)
+
+    return digested.groupBy("digest").applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
