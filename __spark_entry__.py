@@ -679,6 +679,30 @@ def q_sft_pairs(spark, sf_dir):
     return sft_pairs(_metrics(spark, sf_dir))
 
 
+# horizons for the driver tables: generator conversations span a month,
+# so the curve bends in the multi-week range (1h/1d anchor the flat head)
+SURVIVAL_HORIZONS_US = (
+    3_600_000_000,            # 1h
+    86_400_000_000,           # 1d
+    7 * 86_400_000_000,       # 7d
+    27 * 86_400_000_000,      # 27d
+    28 * 86_400_000_000,      # 28d
+    29 * 86_400_000_000,      # 29d
+    29 * 86_400_000_000 + 43_200_000_000,  # 29.5d
+    30 * 86_400_000_000,      # 30d
+)
+
+
+def q_conv_survival(spark, sf_dir):
+    """Conversation-duration survival curve (operators/survival.py):
+    fraction of conversations lasting >= each fixed horizon — one
+    conv hash aggregate, compile-time-constant horizon fan-out over the
+    conv-level frame, len(horizons) output groups."""
+    from sac2mseed_spark.operators.survival import conv_survival
+
+    return conv_survival(_metrics(spark, sf_dir), SURVIVAL_HORIZONS_US)
+
+
 def q_pref_pairs(spark, sf_dir):
     """RLHF preference-pair candidates (operators/sft.py): prompts with
     >= 2 distinct responses across the corpus, deterministic
@@ -1491,6 +1515,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_search": q_bm25_search,
         "sft_pairs": q_sft_pairs,
         "pref_pairs": q_pref_pairs,
+        "conv_survival": q_conv_survival,
         "template_turns": q_template_turns,
         "context_fit": q_context_fit,
         "simhash_pairs": q_simhash_pairs,
@@ -2277,6 +2302,26 @@ SELECT *, CASE WHEN kept THEN CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END)
            OVER (PARTITION BY conv_id ORDER BY assistant_turn_idx)
            AS INTEGER) END AS pair_idx
 FROM pairs
+"""
+
+
+def _conv_survival_sql() -> str:
+    hs = ", ".join(str(h) for h in sorted(SURVIVAL_HORIZONS_US))
+    return f"""{_ORACLE_PREFIX},
+durs AS (
+  SELECT conv_id, max(ts_us) - min(ts_us) AS duration_us
+  FROM m GROUP BY conv_id
+),
+h AS (SELECT unnest([{hs}]) AS horizon_us)
+SELECT h.horizon_us,
+       count(*) AS n_convs,
+       CAST(sum(CASE WHEN durs.duration_us >= h.horizon_us
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_surviving,
+       round(CAST(sum(CASE WHEN durs.duration_us >= h.horizon_us
+                THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6)
+           AS survival_frac
+FROM durs CROSS JOIN h
+GROUP BY h.horizon_us
 """
 
 
@@ -4258,6 +4303,7 @@ SELECT * FROM bad UNION ALL SELECT * FROM good""",
         "bm25_search": _bm25_search_sql(),
         "sft_pairs": _sft_pairs_sql(),
         "pref_pairs": _pref_pairs_sql(),
+        "conv_survival": _conv_survival_sql(),
         "template_turns": _template_turns_sql(),
         "context_fit": _context_fit_sql(),
         "simhash_pairs": _simhash_pairs_sql(3),

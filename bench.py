@@ -75,6 +75,7 @@ SUITE_QUERIES = [
     "bm25_search",
     "sft_pairs",
     "pref_pairs",
+    "conv_survival",
     "template_turns",
     "context_fit",
     "simhash_pairs",
