@@ -271,3 +271,34 @@ def test_daily_coverage_prunes_latency_window(spark):
     assert cols == {"ts", "user_id"}, cols
     n_ex = len(re.findall(r"\(\d+\) Exchange", plan))
     assert n_ex <= 2, f"{n_ex} exchanges"
+
+
+def test_pref_pairs_aggregates_not_windows_over_prompts(spark):
+    # the chosen/rejected selection must be the struct min/max AGGREGATE
+    # (map-side combinable on hot template prompts), never a row_number
+    # window over the corpus-wide prompt groups; the only Window is the
+    # per-conv lag. Join-free end to end.
+    plan = _plan(spark, "pref_pairs")
+    assert "Join" not in plan
+    # only conv-partitioned Window nodes (the metrics latency lag + the
+    # exchange-pairing lag — both ride the SAME conv exchange); never a
+    # window partitioned by prompt_digest (a hot template prompt would
+    # serialize). Formatted mode repeats node names in detail sections,
+    # so count "(n) Window" nodes.
+    assert len(re.findall(r"\(\d+\) Window\b", plan)) == 2
+    for line in plan.splitlines():
+        if "partitionBy" in line or "windowspecdefinition" in line.lower():
+            assert "prompt_digest" not in line
+    assert len(re.findall(r"\(\d+\) Exchange\b", plan)) <= 4
+
+
+def test_template_turns_single_digest_aggregate(spark):
+    # one hash-aggregate chain on the 8-byte digest; the text column is
+    # hashed in the same project that reads it and never exchanges
+    plan = _plan(spark, "template_turns")
+    assert "Join" not in plan and "Window" not in plan
+    assert len(re.findall(r"\(\d+\) Exchange\b", plan)) <= 2
+    # no text column in any exchange-side schema line
+    for line in plan.splitlines():
+        if "Exchange" in line:
+            assert "text" not in line
