@@ -555,11 +555,12 @@ the §0 triad envelope for a partially memory-bound kernel.
   operators/pack.py codec/ tools/scaling_bench.py sources/
   session.py` shows the single +37-line hunk). The shipped tree runs
   the measured binary path unchanged; round-5 additions are analytics
-  queries outside it. Confirmed empirically: pair p0819_2342 re-ran
-  the gate on the final round-5 tree against a freshly regenerated
-  t_scale16 fixture (same seed/counts: 235,732,154 turns, 63,056,400
-  rolled) and scored 0.806 — a sixth validated pair, measured on the
-  exact code being shipped.
+  queries outside it. Confirmed empirically: pairs p0819_2342 (0.806),
+  p0820_0948 (1.116), p0820_1052 (1.109), and p0820_1333 (0.943) all
+  re-ran the gate on the final round-5 tree against freshly regenerated
+  t_scale16 fixtures (same seed/counts: 235,732,154 turns, 63,056,400
+  rolled) — four of the nine validated pairs were measured on the exact
+  code being shipped, as was the day-2 fullbox pair p0820_1306.
 
 Reference comparison: the reference publishes no throughput numbers;
 bit-exactness gates are covered by pytest + the driver's DuckDB oracle.
