@@ -153,7 +153,12 @@ def _aug_docs(spark_docs: DataFrame) -> DataFrame:
 # ----------------------------------------------------------------------
 
 def _metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return derive_turn_metrics(transcripts_from_events(spark, sf_dir))
+    # fused single-window derivation; value-identical to
+    # derive_turn_metrics(transcripts_from_events(...)) — see
+    # sources/transcripts.metrics_from_events
+    from sac2mseed_spark.sources.transcripts import metrics_from_events
+
+    return metrics_from_events(spark, sf_dir)
 
 
 def q_transcripts(spark, sf_dir):

@@ -161,30 +161,27 @@ def top_ngrams(docs, k_top: int = 20, n: int = 2, text_col: str = "text"):
 
 
 def text_profile(docs, id_col: str = "doc_id", text_col: str = "text"):
-    """DataFrame-level text-quality profile: one explode + one codegen'd
-    aggregation instead of per-row interpreted higher-order functions.
+    """DataFrame-level text-quality profile: ALL per-document counts are
+    map-side expressions over the token array — zero exchanges, a pure
+    scan shape (the old explode + groupBy(doc) re-aggregated what each
+    row already knows about itself; guide §2.4: remove shuffles outright).
 
     Values are identical to the scalar helpers above (integer counts, same
-    float expression tree); this shape is the one that survives a 100 TB
-    scan — token counting rides whole-stage codegen, and the only exchange
-    is the partial/final agg on doc_id.
+    float expression tree); this is the shape that survives a 100 TB scan.
     """
     from pyspark.sql import DataFrame  # noqa: F401
 
     c = F.col(text_col)
-    base = docs.select(
+    toks = ws_tokens(text_col)
+    agg = docs.select(
         F.col(id_col),
         F.length(c).alias("_len"),
         F.regexp_count(c, F.lit("[^A-Za-z0-9\\s]")).alias("_punct"),
         F.regexp_count(c, F.lit(BPE_TOKEN_RE)).cast("long").alias("bpe_tokens"),
-        ws_tokens(text_col).alias("_toks"),
-    )
-    ex = base.select(
-        id_col, "_len", "_punct", "bpe_tokens", F.explode_outer("_toks").alias("_tok")
-    )
-    agg = ex.groupBy(id_col, "_len", "_punct", "bpe_tokens").agg(
-        F.count("_tok").alias("n_tokens"),
-        F.count(F.when(F.lower("_tok").isin(EN_STOPWORDS), 1)).alias("_sw"),
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.filter(toks, lambda x: F.lower(x).isin(EN_STOPWORDS)))
+        .cast("long")
+        .alias("_sw"),
     )
     swr = F.when(F.col("n_tokens") > 0, F.col("_sw") / F.col("n_tokens")).otherwise(
         F.lit(0.0)
@@ -210,15 +207,26 @@ def text_profile(docs, id_col: str = "doc_id", text_col: str = "text"):
 def doc_fingerprints(docs, id_col: str = "doc_id", text_col: str = "text", k: int = 8):
     """DataFrame-level fingerprinting: explode k-gram start offsets, hash,
     min per doc — codegen'd end to end (min is order-free, so the result
-    matches the scalar expression form bit-for-bit)."""
+    matches the scalar expression form bit-for-bit).
+
+    The per-gram aggregate runs on the 15-char md5 hex prefix, not the
+    decimal conversion: fixed-length lowercase hex orders identically as
+    string and as number, so min(hex) == hex(min(h60)) and the radix
+    conversion (BigInteger alloc per gram in the old shape) happens once
+    per DOCUMENT after the aggregate instead of once per gram."""
     t = F.trim(F.col(text_col))
     n = F.length(t)
     ex = docs.select(
         F.col(id_col),
         t.alias("_t"),
         F.explode(F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))).alias("_i"),
-    ).select(id_col, h60(F.col("_t").substr(F.col("_i"), F.lit(k))).alias("_h"))
-    return ex.groupBy(id_col).agg(F.min("_h").alias("fingerprint"))
+    ).select(
+        id_col,
+        F.substring(F.md5(F.col("_t").substr(F.col("_i"), F.lit(k))), 1, 15).alias("_hx"),
+    )
+    return ex.groupBy(id_col).agg(
+        F.conv(F.min("_hx"), 16, 10).cast("long").alias("fingerprint")
+    )
 
 
 def doc_fingerprint(text: Column | str, k: int = 8) -> Column:

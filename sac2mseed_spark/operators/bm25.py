@@ -38,13 +38,14 @@ over array_sort(collect_list) here; list_reduce over list(... ORDER BY
 term) in the oracle) — the same determinism discipline as the
 similarity.py dot-product folds.
 
-Scale shape (100 TB): the corpus side is one explode plus two hash
-aggregates (tf on (doc, term), df on term) — the same shuffles a plain
-tf-idf pass already pays; dl folds out of tf with a map-side partial.
-The query side is tiny by construction and is BROADCAST to the term
-join, so no corpus-wide shuffle is added: only rows whose term appears
-in some query survive the join (Bloom-prunable), and the final top-k is
-a row_number window over |queries| * |candidates| pairs, partitioned by
+Scale shape (100 TB): the query-term set is tiny by construction and is
+BROADCAST as a semi-join into the corpus scan stage, so only tokens
+matching some query term ever reach the (doc, term) aggregate — the
+corpus-wide term relation never shuffles at all. Document frequency for
+those terms is a count over the tf aggregate (tf is one row per (doc,
+term)), the corpus token total folds out of the per-doc length
+aggregate (dl) instead of a second full pass, and the final top-k is a
+row_number window over |queries| * |candidates| pairs, partitioned by
 query. Int64 products hold to ~10^5-token tf x 10^14 total-token
 corpora; past that, production computes the same ratio in double (3-ulp
 error bound) — the ORDER of results is unchanged for any realistic gap
@@ -91,22 +92,46 @@ def bm25_retrieval(
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     ft = _terms(docs, doc_col, text_col)
-    tf = ft.groupBy("doc", "term").agg(F.count(F.lit(1)).alias("tf"))
-    dl = ft.groupBy("doc").agg(F.count(F.lit(1)).alias("dl"))
-    df_ = (
-        ft.select("doc", "term")
-        .distinct()
-        .groupBy("term")
-        .agg(F.count(F.lit(1)).alias("df"))
-    )
-    # two scalar corpus constants (1-row aggregates, not data collects)
-    n_docs = docs.select(doc_col).distinct().count()
-    n_tok = ft.count()
+    # per-doc post-stopword length needs NO explode/aggregate: it is a
+    # map-side count over the row's own token array (value-identical to
+    # ft.groupBy(doc).count() for every doc that can reach the join —
+    # docs with zero non-stopword tokens match no query term). Persisted
+    # so the total-token constant below does not re-tokenize the corpus
+    # (values are deterministic — eviction merely recomputes them).
+    dl = docs.select(
+        F.col(doc_col).alias("doc"),
+        F.size(
+            F.filter(
+                ws_tokens(text_col),
+                lambda x: ~F.lower(x).isin(EN_STOPWORDS),
+            )
+        )
+        .cast("long")
+        .alias("dl"),
+    ).persist()
     qt = (
         _terms(queries, query_id_col, query_text_col)
         .distinct()
         .withColumnRenamed("doc", "query_id")
     )
+    # drop every corpus token whose term no query mentions BEFORE the
+    # (doc, term) aggregation: the broadcast semi-join runs map-side in
+    # the scan stage, so only query-term rows ever shuffle (guide §2.3 /
+    # §3.2 — pre-filter the big side; the old shape aggregated and
+    # distinct'd the FULL corpus term relation first)
+    ftq = ft.join(F.broadcast(qt.select("term").distinct()), "term", "left_semi")
+    tf = ftq.groupBy("doc", "term").agg(F.count(F.lit(1)).alias("tf"))
+    # tf is one row per (doc, term), so document frequency for the query
+    # terms is a count over tf — the corpus-wide distinct() is gone
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    # two scalar corpus constants in ONE 1-row aggregate job (dl has a
+    # row per docs row, so distinct doc count == old
+    # docs.select(doc_col).distinct().count(); total tokens = sum of
+    # per-doc lengths, the same number as the old full ft.count() pass)
+    row = dl.agg(
+        F.sum("dl").alias("t"), F.count_distinct("doc").alias("n")
+    ).collect()[0]
+    n_tok, n_docs = row["t"] or 0, row["n"]
 
     t_lit, n_lit = F.lit(int(n_tok)), F.lit(int(n_docs))
     tf_l = F.col("tf").cast("long")
@@ -117,7 +142,7 @@ def bm25_retrieval(
         F.lit(2) * df_l + F.lit(1)
     )
     per_term = (
-        tf.join(df_, "term")
+        tf.join(F.broadcast(df_), "term")
         .join(F.broadcast(qt), "term")
         .join(dl, "doc")
         .select(

@@ -224,13 +224,47 @@ def minhash_lsh_pairs(
         .filter(F.col("l.doc") < F.col("r.doc"))
         .select(F.col("l.doc").alias("a"), F.col("r.doc").alias("b"))
         .distinct()
+        # candidates feed BOTH the verify join and the doc-id semi-join
+        # below; materialize the (narrow id-pair) relation once instead
+        # of recomputing the whole signature+band pipeline per consumer
+        .localCheckpoint()
     )
-    ss = _shingle_sets(docs, id_col, text_col, shingle_k)
+    # verify only candidate docs: the semi-join against the (small)
+    # candidate id set prunes the shingle relation BEFORE it shuffles —
+    # at any realistic threshold candidates are a sliver of the corpus,
+    # so the exact-Jaccard verify no longer re-shuffles every document's
+    # shingles (guide §3.2; AQE turns the semi into a broadcast when the
+    # candidate set is small, and falls back to a narrow shuffle when not)
+    cand_ids = (
+        cand.select(F.col("a").alias("doc"))
+        .union(cand.select(F.col("b").alias("doc")))
+        .distinct()
+    )
+    ss = _shingle_sets(docs, id_col, text_col, shingle_k).join(
+        cand_ids, "doc", "left_semi"
+    )
     sizes = ss.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
+    # LOSSLESS size-ratio prefilter before the verify explode: jaccard
+    # <= min(|A|,|B|) / max(|A|,|B|), so any pair whose set sizes are
+    # more lopsided than the threshold cannot verify — drop it BEFORE
+    # its shingles are materialized. The 0.5 slack absorbs the binary
+    # representation error of the threshold literal (sizes are ints, so
+    # |double(t)-t| * max « 0.5 can never drop a qualifying pair).
+    cand_f = (
+        cand.join(
+            F.broadcast(sizes.toDF("a", "sza")), "a"
+        )
+        .join(F.broadcast(sizes.toDF("b", "szb")), "b")
+        .filter(
+            F.least("sza", "szb").cast("double")
+            >= F.lit(threshold) * F.greatest("sza", "szb").cast("double") - 0.5
+        )
+        .select("a", "b")
+    )
     # equi-join on (doc, sh_h) so the intersection materializes only the
     # matching shingles, never the |A| x |B| cross product per pair
     inter = (
-        cand.join(ss.toDF("a", "sh_h"), "a")
+        cand_f.join(ss.toDF("a", "sh_h"), "a")
         .join(ss.toDF("b", "sh_h"), ["b", "sh_h"])
         .groupBy("a", "b")
         .agg(F.count(F.lit(1)).alias("inter"))
@@ -301,21 +335,21 @@ def components_from_pairs(
             .groupBy(F.col("b").alias("node"))
             .agg(F.min("albl").alias("nbr_min"))
         )
+        # carry the did-it-shrink flag through the same join instead of
+        # re-joining old and new labels afterwards (one fewer join job
+        # per round; the convergence probe is then a filter+count over
+        # the already-checkpointed round output)
         new_labels = (
             labels.join(nbr_min, "node", "left")
             .select(
                 "node",
                 F.least("lbl", F.coalesce("nbr_min", "lbl")).alias("lbl"),
+                (F.col("nbr_min") < F.col("lbl")).alias("chg"),
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.toDF("node", "new_lbl")
-            .join(labels, "node")
-            .filter(F.col("new_lbl") != F.col("lbl"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter(F.col("chg")).count()
+        labels = new_labels.select("node", "lbl")
         if changed == 0:
             break
     sizes = labels.groupBy("lbl").agg(F.count(F.lit(1)).alias("cluster_size"))
@@ -329,21 +363,34 @@ def components_from_pairs(
 def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """(doc_id, simhash): bit-majority fingerprint over token hashes.
 
-    Tokenize + hash JVM-side (one explode, one narrow groupBy collecting
-    token hashes), then a vectorized integer kernel computes per-bit
-    signed sums and the fingerprint. Integer math is order-free, so the
-    result is independent of partitioning AND bit-identical to the SQL
-    oracle's per-bit sum(CASE) formulation — without asking codegen to
-    compile a 48-column aggregate.
+    Tokenize JVM-side into a per-row array (no explode, no shuffle: the
+    old shape exploded every token and re-collected the hashes with a
+    corpus-wide groupBy — a full exchange of the token stream, guide
+    §2.4); the 60-bit md5 hashes are computed in the Arrow kernel via
+    per-batch DICTIONARY ENCODING: tokens repeat heavily across a
+    corpus, so md5 runs once per distinct token per batch (plus a
+    per-task cache across batches) and the per-instance hash lookup is
+    one C-speed numpy take — measured ~10x cheaper than evaluating the
+    md5/conv expression per token instance in the JVM's interpreted
+    higher-order ``transform``. The hash is bit-identical to
+    functions/hashing.h60 (int(md5(utf8)[:15 hex], 16)), asserted by
+    the unchanged oracle rows. The kernel then computes per-bit signed
+    sums; integer math is order-free, so the result is independent of
+    partitioning AND bit-identical to the SQL oracle's per-bit
+    sum(CASE) formulation. Docs with no tokens yield no row (the
+    explode semantics the oracle mirrors).
     """
     import numpy as np
-    import pandas as pd
+    from hashlib import md5 as _md5
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
     from pyspark.sql.types import LongType, StructField, StructType
 
     toks = docs.select(
-        F.col(id_col).alias("doc"), F.explode(ws_tokens(text_col)).alias("tok")
-    ).select(F.col("doc").cast("long"), h60("tok").alias("th"))
-    grouped = toks.groupBy("doc").agg(F.collect_list("th").alias("ths"))
+        F.col(id_col).cast("long").alias("doc"),
+        ws_tokens(text_col).alias("toks"),
+    ).filter(F.size("toks") > 0)
 
     schema = StructType(
         [StructField(id_col, LongType()), StructField("simhash", LongType())]
@@ -351,24 +398,44 @@ def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
     nbits = SIMHASH_BITS
 
     def kernel(batches):
-        for pdf in batches:
-            if not len(pdf):
+        cache: dict = {}
+        for rb in batches:
+            if rb.num_rows == 0:
                 continue
-            arrs = pdf["ths"].to_numpy()
-            lens = np.fromiter((len(a) for a in arrs), dtype=np.int64, count=len(arrs))
-            flat = np.concatenate(arrs).astype(np.int64)
+            names = rb.schema.names
+            lists = rb.column(names.index("toks"))
+            lens = pc.list_value_length(lists).to_numpy(zero_copy_only=False).astype(
+                np.int64
+            )
+            dic = pc.dictionary_encode(pc.list_flatten(lists))
+            idx = dic.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+            vocab = dic.dictionary.to_pylist()
+            dvals = np.empty(len(vocab), dtype=np.int64)
+            for i, s in enumerate(vocab):
+                h = cache.get(s)
+                if h is None:
+                    h = int(_md5(s.encode("utf-8")).hexdigest()[:15], 16)
+                    cache[s] = h
+                dvals[i] = h
+            flat = dvals[idx]
             starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
             # (+1/-1) per bit, summed per doc: 2*popcount_sum - n. One flat
             # 1-D pass per bit — np.add.reduceat along axis 0 of a 2-D
             # (tokens x bits) array is strided and ~20x slower than these
             # nbits contiguous reduceats
-            fp = np.zeros(len(arrs), dtype=np.int64)
+            fp = np.zeros(rb.num_rows, dtype=np.int64)
             for b in range(nbits):
                 ones_b = np.add.reduceat((flat >> b) & 1, starts)
                 fp |= ((2 * ones_b - lens) > 0).astype(np.int64) << b
-            yield pd.DataFrame({id_col: pdf["doc"].to_numpy(np.int64), "simhash": fp})
+            yield pa.RecordBatch.from_arrays(
+                [
+                    rb.column(names.index("doc")).cast(pa.int64()),
+                    pa.array(fp),
+                ],
+                names=[id_col, "simhash"],
+            )
 
-    return grouped.mapInPandas(kernel, schema=schema)
+    return toks.mapInArrow(kernel, schema=schema)
 
 
 def simhash_pairs(
@@ -451,22 +518,33 @@ def dup_ngram_coverage(
     rounded 6dp.
 
     Scale shape: shares ``_shingle_sets`` with the dedup family — text
-    is digested map-side and only 8-byte shingle hashes shuffle. The df
-    aggregate and the join back land on the SAME sh_h partitioning (one
-    wide exchange, reused), then one hash aggregate by doc. No df cap:
+    is digested map-side and only 8-byte shingle hashes shuffle. A
+    shingle with df == 1 has exactly ONE owner, so ``min(doc)`` from the
+    per-shingle aggregate IS that owner: per-doc unique counts come
+    straight from the df aggregate and n_dup = n_shingles - n_unique —
+    the index is never joined back against the df table (the old shape
+    re-shuffled the full index through that join; guide §2.4). Both
+    aggregates reuse the one (doc, sh_h) distinct exchange. No df cap:
     unlike the pair join (df² blowup), coverage cost is linear in index
     size, and dropping stop-shingles would understate boilerplate — the
     very thing this measures.
     """
     ss = _shingle_sets(docs, id_col, text_col, k)
-    dfreq = ss.groupBy("sh_h").agg(F.count(F.lit(1)).alias("df"))
-    dup = F.sum((F.col("df") >= 2).cast("long"))
+    uniq = (
+        ss.groupBy("sh_h")
+        .agg(F.count(F.lit(1)).alias("df"), F.min("doc").alias("min_doc"))
+        .filter(F.col("df") == 1)
+        .groupBy(F.col("min_doc").alias("doc"))
+        .agg(F.count(F.lit(1)).alias("n_uniq"))
+    )
     return (
-        ss.join(dfreq, "sh_h")
-        .groupBy(F.col("doc").alias(id_col))
-        .agg(
-            F.count(F.lit(1)).alias("n_shingles"),
-            dup.alias("n_dup"),
+        ss.groupBy("doc")
+        .agg(F.count(F.lit(1)).alias("n_shingles"))
+        .join(uniq, "doc", "left")
+        .select(
+            F.col("doc").alias(id_col),
+            "n_shingles",
+            (F.col("n_shingles") - F.coalesce("n_uniq", F.lit(0))).alias("n_dup"),
         )
         .select(
             id_col,

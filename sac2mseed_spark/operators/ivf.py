@@ -30,7 +30,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType, StructField, StructType
 
-from .similarity import _cosine_pairs_arrow, _list_matrix, _PAIR_SCHEMA, _rank_topk, _seq_dot
+from .similarity import _list_matrix, _PAIR_SCHEMA, _rank_topk, _seq_dot
 
 N_CENTROIDS = 8
 NPROBE = 2
@@ -135,6 +135,19 @@ def train_centroids(
     return cids, M, np.sqrt(_seq_dot(M, M))
 
 
+def _nearest(V: np.ndarray, M: np.ndarray, cnorm: np.ndarray, n_assign: int):
+    """Top-n_assign centroid INDEXES per row of V (ties → lowest index,
+    via a stable sort over the cid-ascending centroid order). The single
+    assignment arithmetic shared by the distributed kernel and the
+    driver-side query-probe path — sequential dim fold, bit-exact to the
+    oracle's list_dot_product."""
+    acc = np.zeros((len(V), M.shape[0]), dtype=np.float64)
+    for d in range(V.shape[1]):
+        acc += V[:, d, None] * M[None, :, d]
+    sim = acc / (np.sqrt(_seq_dot(V, V))[:, None] * cnorm[None, :])
+    return np.argsort(-sim, axis=1, kind="stable")[:, :n_assign]
+
+
 def _assign_kernel(bc, n_assign: int, vec_type, expect_dims: int | None):
     """mapInPandas kernel: nearest n_assign centroids per vector (ties →
     lowest cid, via a stable sort over the cid-ascending centroid order)."""
@@ -154,14 +167,8 @@ def _assign_kernel(bc, n_assign: int, vec_type, expect_dims: int | None):
             V = np.stack(pdf["v"].to_numpy()).astype(np.float64)
             if expect_dims is not None and V.shape[1] != expect_dims:
                 raise ValueError(f"embedding dims {V.shape[1]} != expected {expect_dims}")
-            # sequential fold over dims (list_dot_product order), one
-            # (rows x centroids) accumulator
-            acc = np.zeros((len(V), len(cids)), dtype=np.float64)
-            for d in range(V.shape[1]):
-                acc += V[:, d, None] * M[None, :, d]
-            sim = acc / (np.sqrt(_seq_dot(V, V))[:, None] * cnorm[None, :])
             # stable argsort of -sim keeps cid-ascending order on ties
-            top = np.argsort(-sim, axis=1, kind="stable")[:, :n_assign]
+            top = _nearest(V, M, cnorm, n_assign)
             ids = pdf["id"].to_numpy(np.int64)
             yield pd.DataFrame(
                 {
@@ -209,26 +216,100 @@ def knn_ivf(
     cosine re-rank. sim rounded to 6 dp, ties broken on neighbor_id.
 
     ``centroids``: optional pre-trained (cids, M, norms) tuple (see
-    train_centroids); default is the oracle-deterministic medoid seed."""
-    sc = corpus.sparkSession.sparkContext
-    bc = sc.broadcast(
+    train_centroids); default is the oracle-deterministic medoid seed.
+
+    ONE fused corpus pass: the query probe lists are computed driver-side
+    (queries are broadcast-small by contract, same as knn_bruteforce's
+    query matrix) and shipped with the centroid matrix; a single Arrow
+    kernel assigns each corpus vector its inverted list AND scores it
+    against exactly the queries probing that list, emitting only rows
+    within a provably-safe margin of each query's per-batch top-k (see
+    knn_bruteforce for the rounding-margin argument). The old shape ran
+    two mapInPandas passes and materialized every (query, neighbor)
+    candidate row with BOTH vectors through the Arrow boundary and the
+    rank window; candidates never carry vectors now (guide §2.3/§8)."""
+    cids, M, cnorm = (
         centroids
         if centroids is not None
         else _centroid_matrix(corpus, id_col, vec_col, n_centroids)
     )
-    inv = assign_centroids(corpus, bc, 1, id_col, vec_col, expect_dims).select(
-        F.col("id").alias("neighbor_id"), F.col("v").alias("cv"), "cid"
+    qpdf = queries.select(
+        F.col(id_col).cast("long").alias("query_id"), F.col(vec_col).alias("qv")
+    ).toPandas()
+    spark = corpus.sparkSession
+    if not len(qpdf):
+        scored = spark.createDataFrame([], schema=_PAIR_SCHEMA)
+        return _rank_topk(scored.withColumn("sim", F.round("sim", 6)), k)
+    qids = qpdf["query_id"].to_numpy(np.int64)
+    Q = np.stack(qpdf["qv"].to_numpy()).astype(np.float64)
+    if expect_dims is not None and Q.shape[1] != expect_dims:
+        raise ValueError(f"embedding dims {Q.shape[1]} != expected {expect_dims}")
+    qn = np.sqrt(_seq_dot(Q, Q))
+    probe_idx = _nearest(Q, M, cnorm, nprobe)  # (nq, nprobe) centroid indexes
+    cid2q: dict[int, np.ndarray] = {}
+    for qi in range(len(qids)):
+        for ci in probe_idx[qi]:
+            cid2q.setdefault(int(ci), []).append(qi)
+    cid2q = {c: np.asarray(v, dtype=np.int64) for c, v in cid2q.items()}
+    bc = spark.sparkContext.broadcast((qids, Q, qn, cid2q, M, cnorm))
+    _MARGIN = 1.1e-6
+
+    def kernel(batches) -> Iterator:
+        import pyarrow as pa
+
+        qids_b, Qm, qn_b, cid2q_b, M_b, cnorm_b = bc.value
+        for rb in batches:
+            if rb.num_rows == 0:
+                continue
+            names = rb.schema.names
+            C = _list_matrix(rb.column(names.index("cv")))
+            if expect_dims is not None and C.shape[1] != expect_dims:
+                raise ValueError(
+                    f"embedding dims {C.shape[1]} != expected {expect_dims}"
+                )
+            own = _nearest(C, M_b, cnorm_b, 1)[:, 0]
+            cn = np.sqrt(_seq_dot(C, C))
+            ids = rb.column(names.index("neighbor_id")).to_numpy(
+                zero_copy_only=False
+            ).astype(np.int64)
+            out_q, out_n, out_s = [], [], []
+            for ci in np.unique(own):
+                qsel = cid2q_b.get(int(ci))
+                if qsel is None:
+                    continue
+                rsel = np.nonzero(own == ci)[0]
+                Cs, cs_n, cs_ids = C[rsel], cn[rsel], ids[rsel]
+                Qs, qs_n, qs_ids = Qm[qsel], qn_b[qsel], qids_b[qsel]
+                acc = np.zeros((len(rsel), len(qsel)), dtype=np.float64)
+                for d in range(Cs.shape[1]):
+                    acc += Cs[:, d, None] * Qs[None, :, d]
+                sim = acc / (cs_n[:, None] * qs_n[None, :])
+                masked = np.where(
+                    cs_ids[:, None] == qs_ids[None, :], -np.inf, sim
+                )
+                nrows = masked.shape[0]
+                if nrows > k:
+                    kth = np.partition(masked, nrows - k, axis=0)[nrows - k, :]
+                    keep = masked >= (kth[None, :] - _MARGIN)
+                else:
+                    keep = masked > -np.inf
+                rr, qq_ = np.nonzero(keep)
+                out_q.append(qs_ids[qq_])
+                out_n.append(cs_ids[rr])
+                out_s.append(sim[rr, qq_])
+            if not out_q:
+                continue
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(np.concatenate(out_q)),
+                    pa.array(np.concatenate(out_n)),
+                    pa.array(np.concatenate(out_s)),
+                ],
+                names=["query_id", "neighbor_id", "sim"],
+            )
+
+    c = corpus.select(
+        F.col(id_col).cast("long").alias("neighbor_id"), F.col(vec_col).alias("cv")
     )
-    probes = assign_centroids(queries, bc, nprobe, id_col, vec_col, expect_dims).select(
-        F.col("id").alias("query_id"), F.col("v").alias("qv"), "cid"
-    )
-    # no distinct needed: each corpus row lives in exactly one inverted
-    # list and a query's nprobe probed cids are distinct, so a (query,
-    # neighbor) pair can only arise once — skipping the wide-row shuffle
-    cand = (
-        inv.join(F.broadcast(probes), "cid")
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "qv", "neighbor_id", "cv")
-    )
-    scored = cand.mapInArrow(_cosine_pairs_arrow, schema=_PAIR_SCHEMA)
+    scored = c.mapInArrow(kernel, schema=_PAIR_SCHEMA)
     return _rank_topk(scored.withColumn("sim", F.round("sim", 6)), k)

@@ -66,23 +66,27 @@ def lttb_downsample(
         F.sum("ts").alias("st"),
         F.sum("value").alias("sv"),
     )
-    prev = stats.select(
+    # neighbor-bucket stats via ONE lag/lead window over the (small)
+    # stats relation, guarded by bucket adjacency (a key's buckets may
+    # have gaps; only the bucket exactly ±1 counts, same as the old
+    # ±1-keyed self-joins, which shuffled stats twice and re-shuffled
+    # pts through two join stages — guide §2.4)
+    ws = Window.partitionBy(key_col).orderBy("__b")
+    adj_prev = F.lag("__b").over(ws) == F.col("__b") - 1
+    adj_next = F.lead("__b").over(ws) == F.col("__b") + 1
+    aug = stats.select(
         F.col(key_col),
-        (F.col("__b") + 1).alias("__b"),
-        F.col("n").alias("pn"),
-        F.col("st").alias("pst"),
-        F.col("sv").alias("psv"),
+        "__b",
+        F.when(adj_prev, F.lag("n").over(ws)).alias("pn"),
+        F.when(adj_prev, F.lag("st").over(ws)).alias("pst"),
+        F.when(adj_prev, F.lag("sv").over(ws)).alias("psv"),
+        F.when(adj_next, F.lead("n").over(ws)).alias("nn"),
+        F.when(adj_next, F.lead("st").over(ws)).alias("nst"),
+        F.when(adj_next, F.lead("sv").over(ws)).alias("nsv"),
     )
-    nxt = stats.select(
-        F.col(key_col),
-        (F.col("__b") - 1).alias("__b"),
-        F.col("n").alias("nn"),
-        F.col("st").alias("nst"),
-        F.col("sv").alias("nsv"),
-    )
-    j = pts.join(prev, [key_col, "__b"], "left").join(
-        nxt, [key_col, "__b"], "left"
-    )
+    # every pts bucket exists in stats by construction, so the inner
+    # join keeps all points
+    j = pts.join(aug, [key_col, "__b"])
     # anchor means from exact int sums; area via ONE canonical shape
     ax = F.col("pst").cast("double") / F.col("pn").cast("double")
     ay = F.col("psv").cast("double") / F.col("pn").cast("double")

@@ -56,33 +56,28 @@ def repetition_loops(
     order = Window.partitionBy("conv_id", "role").orderBy(
         "turn_idx", F.col("ts").cast("timestamp")
     )
+    # per-turn DISTINCT token-digest array, computed map-side (set
+    # semantics for Jaccard): the global distinct over the exploded
+    # token stream collapses to array_distinct over each turn's own
+    # tokens, so per-turn set sizes cost NO exchange at all and the
+    # token stream crosses exactly ONE wide exchange (the per-term
+    # occurrence aggregate below) instead of three (distinct + size agg
+    # + lead window) — guide §2.4. (An Arrow dictionary-md5 kernel was
+    # measured here too — see operators/dedup.simhash — but this
+    # relation has TWO consumers, and paying the token-array Arrow
+    # transfer twice cost more than the interpreted md5 it saved:
+    # 4.35 s vs 3.31 s at sf1.0, so the JVM transform stays.)
     turns = transcripts.select(
         "conv_id",
         "role",
         F.row_number().over(order).alias("rn"),
-        ws_tokens("text").alias("toks"),
+        F.array_distinct(
+            F.transform(ws_tokens("text"), lambda t: h60(t))
+        ).alias("harr"),
     )
 
-    # distinct token digests per turn (set semantics for Jaccard)
-    terms = turns.select(
-        "conv_id", "role", "rn", F.explode("toks").alias("term")
-    ).select(
-        "conv_id", "role", "rn", h60(F.col("term")).alias("term_h")
-    ).distinct()
-
-    # per-turn set size (0 for empty turns — terms has no row for them)
-    sizes = (
-        turns.select("conv_id", "role", "rn")
-        .join(
-            terms.groupBy("conv_id", "role", "rn").agg(
-                F.count(F.lit(1)).alias("sz")
-            ),
-            ["conv_id", "role", "rn"],
-            "left",
-        )
-        .select(
-            "conv_id", "role", "rn", F.coalesce("sz", F.lit(0)).alias("sz")
-        )
+    sizes = turns.select(
+        "conv_id", "role", "rn", F.size("harr").alias("sz")
     )
 
     # consecutive same-role pairs: pair p joins turn rn=p (prev) with
@@ -100,16 +95,29 @@ def repetition_loops(
     )
 
     # intersection counts WITHOUT a self-join: a term is in the
-    # intersection of pair p exactly when its next appearance rank (per
-    # conv/role/term) is p+1, so ONE lead() window over the distinct
-    # term stream replaces re-shuffling it twice through an equi-join —
-    # the same linear-pass-over-sorted-runs idea as the reference's
-    # adjacent-trace matching (libmseed traceutils.c mst_findadjacent)
-    wt = Window.partitionBy("conv_id", "role", "term_h").orderBy("rn")
+    # intersection of pair p exactly when ranks p and p+1 both appear in
+    # its per-(conv, role, term) occurrence set, so ONE hash aggregate
+    # over the distinct term stream (map-side partial combine) replaces
+    # re-shuffling it through a distinct AND a lead() window — the same
+    # linear-pass-over-sorted-runs idea as the reference's adjacent-
+    # trace matching (libmseed traceutils.c mst_findadjacent)
+    rs = F.array_sort("rns")
+    adj = F.filter(
+        F.zip_with(
+            F.slice(rs, 1, F.size(rs) - 1),
+            F.slice(rs, 2, F.size(rs) - 1),
+            lambda a, b: F.when(b == a + 1, a),
+        ),
+        lambda x: x.isNotNull(),
+    )
     inter = (
-        terms.withColumn("next_rn", F.lead("rn").over(wt))
-        .filter(F.col("next_rn") == F.col("rn") + 1)
-        .groupBy("conv_id", "role", F.col("rn").alias("p"))
+        turns.select(
+            "conv_id", "role", "rn", F.explode("harr").alias("term_h")
+        )
+        .groupBy("conv_id", "role", "term_h")
+        .agg(F.collect_set("rn").alias("rns"))
+        .select("conv_id", "role", F.explode(adj).alias("p"))
+        .groupBy("conv_id", "role", "p")
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
 

@@ -138,8 +138,10 @@ def knn_bruteforce(
     corpus Arrow batch is scored against the whole query matrix in one
     kernel. The corpus never shuffles, and — unlike a pair-row
     broadcast-join — each corpus vector crosses the Arrow boundary once
-    per batch, not once per query: pair materialization is 24 B/pair of
-    ids+score, never vectors.
+    per batch, not once per query. The kernel emits only rows within a
+    provably-safe rounding margin of each query's per-batch top-k (see
+    the _MARGIN note in the body), so the rank window sees ~k rows per
+    query per batch instead of |corpus| x |queries| pair rows.
 
     Bit-determinism: the per-dimension outer-product fold reproduces the
     oracle's sequential list_dot_product order per pair, and the
@@ -152,6 +154,16 @@ def knn_bruteforce(
     Q = np.stack(qpdf["qv"].to_numpy()).astype(np.float64)
     qq = np.sqrt(_seq_dot(Q, Q))
     bq = corpus.sparkSession.sparkContext.broadcast((qids, Q, qq))
+
+    # Per-batch candidate pruning: the final ranker keeps top-k per query
+    # by (round(sim, 6) desc, neighbor_id asc). A row can only be pushed
+    # out of the global top-k by rows whose UNROUNDED sim exceeds its own
+    # by more than 1e-6 (two sims within 1e-6 can round equal, and
+    # round(x) > round(r) implies x > r); so emitting every row within
+    # 1.1e-6 of the batch's k-th best (self-pairs masked) provably
+    # preserves the exact global result while shrinking the kernel output
+    # from |batch| x |queries| rows to ~k+ties per query per batch.
+    _MARGIN = 1.1e-6
 
     def kernel(batches) -> Iterator:
         import pyarrow as pa
@@ -176,12 +188,20 @@ def knn_bruteforce(
             sim = acc / (cn[:, None] * qn[None, :])
             cids = rb.column(names.index("neighbor_id")).to_numpy(
                 zero_copy_only=False
-            )
+            ).astype(np.int64)
+            masked = np.where(cids[:, None] == qids_b[None, :], -np.inf, sim)
+            nrows = masked.shape[0]
+            if nrows > k:
+                kth = np.partition(masked, nrows - k, axis=0)[nrows - k, :]
+                keep = masked >= (kth[None, :] - _MARGIN)
+            else:
+                keep = masked > -np.inf
+            ci, qi = np.nonzero(keep)
             yield pa.RecordBatch.from_arrays(
                 [
-                    pa.array(np.tile(qids_b, C.shape[0])),
-                    pa.array(np.repeat(cids.astype(np.int64), nq)),
-                    pa.array(sim.ravel()),
+                    pa.array(qids_b[qi]),
+                    pa.array(cids[ci]),
+                    pa.array(sim[ci, qi]),
                 ],
                 names=["query_id", "neighbor_id", "sim"],
             )
@@ -206,14 +226,14 @@ def _plane_matrix(dims: int, n_planes: int = N_PLANES) -> np.ndarray:
     return w
 
 
-def _signature_kernel(n_planes: int, vec_type, expect_dims: int | None = None):
-    out_schema = StructType(
-        [
-            StructField("id", LongType()),
-            StructField("v", vec_type),
-            StructField("sig", LongType()),
-        ]
-    )
+def _signature_kernel(
+    n_planes: int, vec_type, expect_dims: int | None = None, keep_vec: bool = True
+):
+    fields = [StructField("id", LongType())]
+    if keep_vec:
+        fields.append(StructField("v", vec_type))
+    fields.append(StructField("sig", LongType()))
+    out_schema = StructType(fields)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         W = None
@@ -236,9 +256,11 @@ def _signature_kernel(n_planes: int, vec_type, expect_dims: int | None = None):
                 acc += v[:, d, None] * W[None, d, :]
             bits = (acc > 0).astype(np.int64)
             sig = (bits << np.arange(n_planes, dtype=np.int64)[None, :]).sum(axis=1)
-            yield pd.DataFrame(
-                {"id": pdf["id"].to_numpy(np.int64), "v": pdf["v"], "sig": sig}
-            )
+            out = {"id": pdf["id"].to_numpy(np.int64)}
+            if keep_vec:
+                out["v"] = pdf["v"]
+            out["sig"] = sig
+            yield pd.DataFrame(out)
 
     return run, out_schema
 
@@ -249,13 +271,16 @@ def hyperplane_signatures(
     vec_col: str = "embedding",
     n_planes: int = N_PLANES,
     expect_dims: int | None = None,
+    keep_vec: bool = True,
 ) -> DataFrame:
-    """(id, v, sig): deterministic random-hyperplane signature per vector.
+    """(id[, v], sig): deterministic random-hyperplane signature per vector.
 
-    The vector rides through the Arrow batch (lossless float pass-through)
-    so no self-join is needed to reunite signature and embedding."""
+    With ``keep_vec`` the vector rides through the Arrow batch (lossless
+    float pass-through) so no self-join is needed to reunite signature and
+    embedding; ``keep_vec=False`` emits only (id, sig) — the candidate-
+    generation path where vectors must NOT ride the shuffle (guide §2.3)."""
     vec_type = df.schema[vec_col].dataType
-    run, schema = _signature_kernel(n_planes, vec_type, expect_dims)
+    run, schema = _signature_kernel(n_planes, vec_type, expect_dims, keep_vec)
     return df.select(
         F.col(id_col).cast("long").alias("id"), F.col(vec_col).alias("v")
     ).mapInPandas(run, schema=schema)
@@ -278,10 +303,48 @@ def embedding_dup_pairs(
     |corpus|² scoring.
     """
     bw = n_planes // bands
-    sigs = hyperplane_signatures(corpus, id_col, vec_col, n_planes, expect_dims)
-    banded = sigs.select(
-        "id",
-        "v",
+    # candidate generation on (id, sig) ONLY — embeddings must not ride
+    # the band self-join or the distinct (guide §2.3/§8: shuffle the
+    # lightweight proxy, re-attach the payload once). The old shape
+    # carried BOTH vectors through the join and the distinct: ~2*dims*8
+    # bytes per candidate row vs 16 bytes here.
+    sigs = hyperplane_signatures(
+        corpus, id_col, vec_col, n_planes, expect_dims, keep_vec=False
+    )
+    banded = _band_explode(sigs.select("id", "sig"), "id", bands, bw)
+    cand = (
+        banded.alias("l")
+        .join(banded.alias("r"), ["band", "key"])
+        .filter(F.col("l.id") < F.col("r.id"))
+        .select(F.col("l.id").alias("query_id"), F.col("r.id").alias("neighbor_id"))
+        .distinct()
+    )
+    # re-attach each side's vector: the corpus crosses the join once per
+    # side, keyed by its own id — never per candidate band
+    vecs = corpus.select(
+        F.col(id_col).cast("long").alias("id"), F.col(vec_col).alias("v")
+    )
+    pairs = cand.join(
+        vecs.select(F.col("id").alias("query_id"), F.col("v").alias("qv")),
+        "query_id",
+    ).join(
+        vecs.select(F.col("id").alias("neighbor_id"), F.col("v").alias("cv")),
+        "neighbor_id",
+    ).select("query_id", "qv", "neighbor_id", "cv")
+    scored = pairs.mapInArrow(_cosine_pairs_arrow, schema=_PAIR_SCHEMA)
+    return (
+        scored.withColumn("sim", F.round("sim", 6))
+        .filter(F.col("sim") >= threshold)
+        .select(
+            F.col("query_id").alias("a"), F.col("neighbor_id").alias("b"), "sim"
+        )
+    )
+
+
+def _band_explode(sigs: DataFrame, id_alias: str, bands: int, bw: int) -> DataFrame:
+    """(id, band, key) rows: one per signature band, ids only."""
+    return sigs.select(
+        F.col("id").alias(id_alias),
         F.explode(
             F.array(
                 *[
@@ -295,27 +358,7 @@ def embedding_dup_pairs(
                 ]
             )
         ).alias("bk"),
-    ).select("id", "v", "bk.band", "bk.key")
-    cand = (
-        banded.alias("l")
-        .join(banded.alias("r"), ["band", "key"])
-        .filter(F.col("l.id") < F.col("r.id"))
-        .select(
-            F.col("l.id").alias("query_id"),
-            F.col("l.v").alias("qv"),
-            F.col("r.id").alias("neighbor_id"),
-            F.col("r.v").alias("cv"),
-        )
-        .distinct()
-    )
-    scored = cand.mapInArrow(_cosine_pairs_arrow, schema=_PAIR_SCHEMA)
-    return (
-        scored.withColumn("sim", F.round("sim", 6))
-        .filter(F.col("sim") >= threshold)
-        .select(
-            F.col("query_id").alias("a"), F.col("neighbor_id").alias("b"), "sim"
-        )
-    )
+    ).select(id_alias, "bk.band", "bk.key")
 
 
 def knn_lsh(
@@ -329,36 +372,43 @@ def knn_lsh(
     expect_dims: int | None = None,
 ) -> DataFrame:
     """LSH-bucketed approximate top-k: candidates share at least one exact
-    signature band with the query; exact cosine re-ranks candidates."""
+    signature band with the query; exact cosine re-ranks candidates.
+
+    Candidate generation and dedup run on (id, band, key) rows ONLY — the
+    old shape carried both embeddings through the broadcast join and the
+    distinct (2*dims*8 bytes per banded candidate, the dominant shuffle
+    at scale); vectors are re-attached once per distinct pair: the query
+    side from a broadcast (small by contract), the corpus side keyed by
+    its own id (guide §2.3/§8)."""
     bw = n_planes // bands
-
-    def banded(df: DataFrame, id_alias: str, vec_alias: str) -> DataFrame:
-        withv = hyperplane_signatures(df, id_col, vec_col, n_planes, expect_dims)
-        return withv.select(
-            F.col("id").alias(id_alias),
-            F.col("v").alias(vec_alias),
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(i).alias("band"),
-                            F.shiftright(F.col("sig"), i * bw)
-                            .bitwiseAND(F.lit((1 << bw) - 1))
-                            .alias("key"),
-                        )
-                        for i in range(bands)
-                    ]
-                )
-            ).alias("bk"),
-        ).select(id_alias, vec_alias, "bk.band", "bk.key")
-
-    cb = banded(corpus, "neighbor_id", "cv")
-    qb = banded(queries, "query_id", "qv")
+    cb = _band_explode(
+        hyperplane_signatures(
+            corpus, id_col, vec_col, n_planes, expect_dims, keep_vec=False
+        ),
+        "neighbor_id", bands, bw,
+    )
+    qb = _band_explode(
+        hyperplane_signatures(
+            queries, id_col, vec_col, n_planes, expect_dims, keep_vec=False
+        ),
+        "query_id", bands, bw,
+    )
     cand = (
         cb.join(F.broadcast(qb), ["band", "key"])
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "qv", "neighbor_id", "cv")
+        .select("query_id", "neighbor_id")
         .distinct()
     )
-    scored = cand.mapInArrow(_cosine_pairs_arrow, schema=_PAIR_SCHEMA)
+    qv = queries.select(
+        F.col(id_col).cast("long").alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    cv = corpus.select(
+        F.col(id_col).cast("long").alias("neighbor_id"), F.col(vec_col).alias("cv")
+    )
+    pairs = (
+        cand.join(cv, "neighbor_id")
+        .join(F.broadcast(qv), "query_id")
+        .select("query_id", "qv", "neighbor_id", "cv")
+    )
+    scored = pairs.mapInArrow(_cosine_pairs_arrow, schema=_PAIR_SCHEMA)
     return _rank_topk(scored.withColumn("sim", F.round("sim", 6)), k)

@@ -51,9 +51,10 @@ def salient_terms(
         F.explode(ws_tokens(text_col)).alias("term"),
     ).filter(~F.lower("term").isin(EN_STOPWORDS))
     tf = terms.groupBy("doc", "term").agg(F.count(F.lit(1)).alias("tf"))
-    df_ = terms.select("doc", "term").distinct().groupBy("term").agg(
-        F.count(F.lit(1)).alias("df")
-    )
+    # tf is one row per (doc, term) already, so document frequency is a
+    # count over tf — the old separate distinct() re-shuffled the whole
+    # token relation a second time for the same number (guide §2.4)
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_docs = docs.select(doc_col).distinct().count()
     scored = tf.join(df_, "term")
     if log_idf:

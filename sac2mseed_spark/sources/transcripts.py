@@ -272,3 +272,52 @@ def transcripts_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.read.parquet(f"{sf_dir}/events.parquet").createOrReplaceTempView("events")
     # Spark's varchar cast spells the same as duckdb's for integers.
     return spark.sql(TRANSCRIPTS_FROM_EVENTS_SQL.replace("AS varchar", "AS string"))
+
+
+# Fused transcripts + turn-metrics derivation: turn_idx (row_number) and
+# latency_us (lag) share ONE window spec, so Catalyst plans a single
+# exchange + sort. conv_id is 'conv_' || user_id (bijective) and turn_idx
+# is assigned by (ts, event_id) order within user_id, so
+# derive_turn_metrics' lag over (conv_id ORDER BY turn_idx, ts) orders
+# rows exactly as this window does — value-identical by construction
+# (tests assert row-for-row equality with the unfused path).
+METRICS_FROM_EVENTS_SQL = """
+SELECT
+    concat('conv_', cast(user_id AS string)) AS conv_id,
+    cast(row_number() OVER w - 1 AS int) AS turn_idx,
+    CASE
+        WHEN event_type IN ('click', 'view') THEN 'user'
+        WHEN event_type = 'purchase' THEN 'tool'
+        ELSE 'assistant'
+    END AS role,
+    props AS text,
+    CASE WHEN event_type = 'purchase' THEN 'checkout' ELSE NULL END AS tool,
+    ts,
+    unix_micros(cast(ts AS timestamp)) AS ts_us,
+    unix_micros(cast(ts AS timestamp))
+        - lag(unix_micros(cast(ts AS timestamp))) OVER w AS latency_us
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+def metrics_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``derive_turn_metrics(transcripts_from_events(...))`` computed with
+    ONE window exchange instead of two (guide §2.4: two operations keyed
+    the same way share one exchange). The old path re-shuffled and
+    re-sorted every metrics consumer's input on the derived conv_id
+    string — a second full exchange Catalyst cannot elide because it
+    does not know conv_id is bijective in user_id. Same columns, same
+    order, same values."""
+    from ..functions.metrics import token_count_col
+
+    spark.read.parquet(f"{sf_dir}/events.parquet").createOrReplaceTempView("events")
+    df = spark.sql(METRICS_FROM_EVENTS_SQL)
+    return (
+        df.withColumn("token_count", token_count_col().cast("long"))
+        .withColumn("text_len", F.length("text").cast("long"))
+        .select(
+            "conv_id", "turn_idx", "role", "text", "tool", "ts",
+            "ts_us", "token_count", "text_len", "latency_us",
+        )
+    )

@@ -113,12 +113,18 @@ def test_window_topk_two_phase_shape(spark):
 
 
 def test_single_aggregate_operators_stay_joinless(spark):
-    # dispersion_stats and utilization are one-aggregate operators:
-    # metrics lag exchange + their own groupBy, nothing else
+    # dispersion_stats and utilization are one-aggregate operators.
+    # Round 6: the fused single-window metrics derivation (sources/
+    # transcripts.metrics_from_events) removed the conv_id-keyed lag
+    # exchange these groupBys used to piggyback on, so each aggregate
+    # now pays its own exchange — but those exchanges carry PARTIAL-AGG
+    # output (a few counters per group), not the row stream, and one
+    # full window sort of the events disappeared. Budget 3 = events
+    # window + two narrow agg exchanges; still joinless.
     for key in ("dispersion_stats", "utilization"):
         plan = _plan(spark, key)
         n_ex = len(re.findall(r"\(\d+\) Exchange", plan))
-        assert n_ex <= 2, f"{key} plan has {n_ex} exchanges"
+        assert n_ex <= 3, f"{key} plan has {n_ex} exchanges"
         assert "Join" not in plan, key
 
 
@@ -158,17 +164,28 @@ def test_curation_and_layout_exchange_budgets(spark):
     # union legs.
     budgets = {
         "repetition_loops": 6,
-        "dup_ngram_coverage": 4,
+        # dup_ngram_coverage (round 6): the join-back against the df
+        # table is GONE (unique-shingle owners come from min(doc) in
+        # the per-shingle aggregate); the (doc, sh_h) distinct subtree
+        # is now shared by two static consumers (per-shingle agg,
+        # per-doc agg) whose identical exchanges AQE reuses at runtime,
+        # and the balance_scan repartition adds one exchange per
+        # _aug_docs branch. 9 static nodes, every one narrow (digests
+        # or per-doc counters); the fat index never re-shuffles.
+        "dup_ngram_coverage": 9,
         "layout_audit": 8,
         # corpus_mix: map-side partial agg -> ONE hash exchange to
         # (lang, source) + ONE single-partition window over that tiny
-        # aggregate; the corpus is never re-scanned for totals
-        "corpus_mix": 2,
+        # aggregate; the corpus is never re-scanned for totals. +1 in
+        # round 6: the balance_scan round-robin exchange that spreads
+        # the single-row-group documents scan across the cores.
+        "corpus_mix": 3,
         # source_overlap: the (source, digest) collect_set subtree is
         # shared by three static branches (6 Exchange nodes printed)
         # but AQE stage reuse collapses the identical shuffles at
-        # runtime — asserted separately below
-        "source_overlap": 6,
+        # runtime — asserted separately below. +1 balance_scan
+        # round-robin exchange per branch in round 6 (9 static total).
+        "source_overlap": 9,
         # shingle_novelty: ONE collect_set exchange of (digest, day)
         # pairs + ONE per-day agg over the exploded tiny frame
         "shingle_novelty": 2,
@@ -180,7 +197,8 @@ def test_curation_and_layout_exchange_budgets(spark):
         "conv_near_dup": 35,
         # source_quality: ONE map-side-combining hash agg to |sources|
         # rows; all counting expressions codegen'd in the scan stage
-        "source_quality": 1,
+        # (+1 balance_scan exchange in round 6)
+        "source_quality": 2,
     }
     for key, budget in budgets.items():
         plan = _plan(spark, key)
