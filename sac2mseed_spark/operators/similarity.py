@@ -399,16 +399,69 @@ def knn_lsh(
         .select("query_id", "neighbor_id")
         .distinct()
     )
-    qv = queries.select(
+    # score without materializing (qv, cv) pair rows: candidate query
+    # ids are grouped per corpus vector (an id-array column), the corpus
+    # vector crosses the join ONCE, and the query matrix ships to each
+    # task as a broadcast (queries are broadcast-small by contract, the
+    # knn_bruteforce design) — the Arrow boundary carries |corpus|
+    # vectors + id lists and emits 24-byte id/score rows, never 2*dims*8
+    # bytes per candidate pair
+    qpdf = queries.select(
         F.col(id_col).cast("long").alias("query_id"), F.col(vec_col).alias("qv")
+    ).toPandas()
+    qids = qpdf["query_id"].to_numpy(np.int64)
+    Q = np.stack(qpdf["qv"].to_numpy()).astype(np.float64)
+    qn = np.sqrt(_seq_dot(Q, Q))
+    qpos = {int(q): i for i, q in enumerate(qids)}
+    bq = corpus.sparkSession.sparkContext.broadcast((qids, Q, qn, qpos))
+
+    cand_sets = cand.groupBy("neighbor_id").agg(
+        F.collect_list("query_id").alias("qs")
     )
     cv = corpus.select(
         F.col(id_col).cast("long").alias("neighbor_id"), F.col(vec_col).alias("cv")
     )
-    pairs = (
-        cand.join(cv, "neighbor_id")
-        .join(F.broadcast(qv), "query_id")
-        .select("query_id", "qv", "neighbor_id", "cv")
-    )
-    scored = pairs.mapInArrow(_cosine_pairs_arrow, schema=_PAIR_SCHEMA)
+    joined = cand_sets.join(cv, "neighbor_id").select("neighbor_id", "qs", "cv")
+
+    def kernel(batches) -> Iterator:
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        qids_b, Qm, qn_b, qpos_b = bq.value
+        for rb in batches:
+            if rb.num_rows == 0:
+                continue
+            names = rb.schema.names
+            C = _list_matrix(rb.column(names.index("cv")))
+            cn = np.sqrt(_seq_dot(C, C))
+            ids = rb.column(names.index("neighbor_id")).to_numpy(
+                zero_copy_only=False
+            ).astype(np.int64)
+            qs = rb.column(names.index("qs"))
+            lens = pc.list_value_length(qs).to_numpy(zero_copy_only=False).astype(
+                np.int64
+            )
+            flat_q = pc.list_flatten(qs).to_numpy(zero_copy_only=False).astype(
+                np.int64
+            )
+            qi = np.fromiter(
+                (qpos_b[int(q)] for q in flat_q), dtype=np.int64, count=len(flat_q)
+            )
+            rep = np.repeat(np.arange(rb.num_rows, dtype=np.int64), lens)
+            # sequential fold over dims (list_dot_product order) across
+            # the flattened (corpus row, query) pair list
+            acc = np.zeros(len(rep), dtype=np.float64)
+            for d in range(C.shape[1]):
+                acc += C[rep, d] * Qm[qi, d]
+            sim = acc / (cn[rep] * qn_b[qi])
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(qids_b[qi]),
+                    pa.array(ids[rep]),
+                    pa.array(sim),
+                ],
+                names=["query_id", "neighbor_id", "sim"],
+            )
+
+    scored = joined.mapInArrow(kernel, schema=_PAIR_SCHEMA)
     return _rank_topk(scored.withColumn("sim", F.round("sim", 6)), k)
