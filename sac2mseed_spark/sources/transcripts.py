@@ -274,50 +274,63 @@ def transcripts_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(TRANSCRIPTS_FROM_EVENTS_SQL.replace("AS varchar", "AS string"))
 
 
-# Fused transcripts + turn-metrics derivation: turn_idx (row_number) and
-# latency_us (lag) share ONE window spec, so Catalyst plans a single
-# exchange + sort. conv_id is 'conv_' || user_id (bijective) and turn_idx
-# is assigned by (ts, event_id) order within user_id, so
-# derive_turn_metrics' lag over (conv_id ORDER BY turn_idx, ts) orders
-# rows exactly as this window does — value-identical by construction
-# (tests assert row-for-row equality with the unfused path).
-METRICS_FROM_EVENTS_SQL = """
-SELECT
-    concat('conv_', cast(user_id AS string)) AS conv_id,
-    cast(row_number() OVER w - 1 AS int) AS turn_idx,
-    CASE
-        WHEN event_type IN ('click', 'view') THEN 'user'
-        WHEN event_type = 'purchase' THEN 'tool'
-        ELSE 'assistant'
-    END AS role,
-    props AS text,
-    CASE WHEN event_type = 'purchase' THEN 'checkout' ELSE NULL END AS tool,
-    ts,
-    unix_micros(cast(ts AS timestamp)) AS ts_us,
-    unix_micros(cast(ts AS timestamp))
-        - lag(unix_micros(cast(ts AS timestamp))) OVER w AS latency_us
-FROM events
-WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-"""
-
-
 def metrics_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``derive_turn_metrics(transcripts_from_events(...))`` computed with
     ONE window exchange instead of two (guide §2.4: two operations keyed
-    the same way share one exchange). The old path re-shuffled and
-    re-sorted every metrics consumer's input on the derived conv_id
-    string — a second full exchange Catalyst cannot elide because it
-    does not know conv_id is bijective in user_id. Same columns, same
-    order, same values."""
-    from ..functions.metrics import token_count_col
+    the same way share one exchange). turn_idx (row_number) and
+    latency_us (lag) share one window spec — conv_id is 'conv_' ||
+    user_id (bijective) and turn_idx is assigned by (ts, event_id)
+    order within user_id, so derive_turn_metrics' lag over (conv_id
+    ORDER BY turn_idx, ts) orders rows exactly as this window does.
+    The old path re-shuffled and re-sorted every metrics consumer's
+    input on the derived conv_id string — a second full exchange
+    Catalyst cannot elide because it does not know conv_id is bijective
+    in user_id. Same columns, same order, same values (tests assert
+    row-for-row equality with the unfused path).
 
-    spark.read.parquet(f"{sf_dir}/events.parquet").createOrReplaceTempView("events")
-    df = spark.sql(METRICS_FROM_EVENTS_SQL)
-    return (
-        df.withColumn("token_count", token_count_col().cast("long"))
-        .withColumn("text_len", F.length("text").cast("long"))
-        .select(
-            "conv_id", "turn_idx", "role", "text", "tool", "ts",
-            "ts_us", "token_count", "text_len", "latency_us",
-        )
+    The stateless metrics (token_count, text_len) are computed BELOW
+    the window, exactly like derive_turn_metrics does: a consumer that
+    drops ``text`` then prunes it under the window exchange, so rollup
+    shapes shuffle ~60 B/turn of metrics and TEXT NEVER CROSSES ANY
+    EXCHANGE (the old path shipped it through the row_number window).
+    The window partitions by conv_id (same groups as user_id —
+    bijective), so every downstream per-conv aggregate piggybacks on
+    its partitioning with no exchange of its own, the same free ride
+    the old two-window path gave them. (A balance_scan round-robin of
+    the events table was measured here and rejected: it parallelizes
+    the tokenize against the local single-row-group fixture but ships
+    text through an exchange for the digest consumers — a discipline
+    the plan gates protect — and is a no-op at production scale.)
+    """
+    from pyspark.sql import Window
+
+    from ..functions.metrics import token_count_col, ts_us_col
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    base = ev.select(
+        F.concat(F.lit("conv_"), F.col("user_id").cast("string")).alias("conv_id"),
+        F.when(F.col("event_type").isin("click", "view"), F.lit("user"))
+        .when(F.col("event_type") == "purchase", F.lit("tool"))
+        .otherwise(F.lit("assistant"))
+        .alias("role"),
+        F.col("props").alias("text"),
+        F.when(F.col("event_type") == "purchase", F.lit("checkout")).alias("tool"),
+        F.col("ts"),
+        ts_us_col("ts").alias("ts_us"),
+        token_count_col("props").cast("long").alias("token_count"),
+        F.length("props").cast("long").alias("text_len"),
+        F.col("event_id").alias("__eid"),
+    )
+    w = Window.partitionBy("conv_id").orderBy("ts", "__eid")
+    return base.select(
+        "conv_id",
+        (F.row_number().over(w) - 1).cast("int").alias("turn_idx"),
+        "role",
+        "text",
+        "tool",
+        "ts",
+        "ts_us",
+        "token_count",
+        "text_len",
+        (F.col("ts_us") - F.lag("ts_us").over(w)).alias("latency_us"),
     )
