@@ -173,11 +173,21 @@ def minhash_signatures(
     sh = docs.select(
         F.col(id_col).alias("doc"), F.explode(shingles(text_col, shingle_k)).alias("sh")
     )
-    h1 = h60("sh")
-    h2 = h60("sh", seed="mh2") % MH_H2_MOD
-    vec = F.array(*[(h1 + F.lit(j) * h2) % MH_MOD for j in range(k)])
+    # name the two md5-derived bases as columns in their OWN projection:
+    # inlining them into the 16 array elements would print (and, under
+    # interpreted fallback, evaluate) the md5 chain 32x per shingle;
+    # CollapseProject keeps the split because the aliases are non-cheap
+    # and multiply referenced
+    hs = sh.select(
+        "doc",
+        h60("sh").alias("__h1"),
+        (h60("sh", seed="mh2") % MH_H2_MOD).alias("__h2"),
+    )
+    vec = F.array(
+        *[(F.col("__h1") + F.lit(j) * F.col("__h2")) % MH_MOD for j in range(k)]
+    )
     return (
-        sh.select("doc", vec.alias("hv"))
+        hs.select("doc", vec.alias("hv"))
         .groupBy("doc")
         .agg(
             F.array(*[F.min(F.element_at("hv", j + 1)) for j in range(k)]).alias("sig")
